@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": secs, "unit": "sec", "queries": {name: secs}, "sf": ...}
+
+Also reports triples/sec for the flagship KG pipeline (the BASELINE.json
+headline metric). Use --queries a,b,c to restrict; --json-extra adds fields.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "kg_triples",
+    "j6_mention_detect",
+    "j5_topk_similarity",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "agg_pricing_summary",
+    "join_top_customers_per_nation",
+    "text_quality",
+    "sim_ann_lsh_topk",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=",".join(HEADLINE))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from biocurator_mapper_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bcms-bench",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=max(int(args.cpus), 8),
+    )
+    sf_dir = args.sf_dir
+    qs = entrymod.queries()
+    names = [n for n in args.queries.split(",") if n]
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    # warm the JVM/Arrow paths once with a trivial job
+    spark.range(1000).count()
+    for name in names:
+        fn = qs[name]
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        counts[name] = n
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    triples_per_sec = (
+        round(counts.get("kg_triples", 0) / timings["kg_triples"], 1)
+        if timings.get("kg_triples")
+        else None
+    )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(args.cpus),
+        "rows": counts,
+        "triples_per_sec": triples_per_sec,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

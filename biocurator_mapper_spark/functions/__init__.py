@@ -1,0 +1,33 @@
+from .embed import (
+    EMBED_DIM,
+    EMBED_MODEL_STUB,
+    hash_embed_py,
+    with_hash_embedding,
+    cosine_expr,
+    certainty_expr,
+)
+from .text import (
+    curie_normalize,
+    with_url_host,
+    token_count,
+    quality_score_cols,
+    lang_id_expr,
+    doc_fingerprint,
+    truncate_with_ellipsis,
+)
+
+__all__ = [
+    "EMBED_DIM",
+    "EMBED_MODEL_STUB",
+    "hash_embed_py",
+    "with_hash_embedding",
+    "cosine_expr",
+    "certainty_expr",
+    "curie_normalize",
+    "with_url_host",
+    "token_count",
+    "quality_score_cols",
+    "lang_id_expr",
+    "doc_fingerprint",
+    "truncate_with_ellipsis",
+]

@@ -1,0 +1,122 @@
+"""Scalar text/URL functions — all built-in expressions (JVM-side codegen).
+
+Covers the reference's scalar surface (SURVEY §2 string table) plus the
+training-data-pipeline text analysis ops: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- reference ops
+
+
+def curie_normalize(col: Column, replacements: dict[str, str] | None = None) -> Column:
+    """URI tail → CURIE (reference go_parser.py:97-100): last "/" segment,
+    then configured replacements (default ``_`` → ``:``)."""
+    if replacements is None:
+        replacements = {"_": ":"}
+    out = F.element_at(F.split(col, "/"), -1)
+    for old, new in replacements.items():
+        out = F.replace(out, F.lit(old), F.lit(new))
+    return out
+
+
+def truncate_with_ellipsis(col: Column, max_length: int = 8000) -> Column:
+    """Truncate to max_length with trailing "..." (do_embeddings.py:141-144)."""
+    return F.when(
+        F.length(col) > max_length,
+        F.concat(F.substring(col, 1, max_length - 3), F.lit("...")),
+    ).otherwise(col)
+
+
+def content_hash(*cols: Column) -> Column:
+    """First 16 hex chars of sha256 over a canonical JSON of the fields
+    (ontology_version_manager.py:67-84)."""
+    return F.substring(F.sha2(F.to_json(F.struct(*cols)), 256), 1, 16)
+
+
+def with_url_host(col: Column) -> Column:
+    """Hostname of a URL — the skew/salting key for head domains."""
+    return F.parse_url(col, F.lit("HOST"))
+
+
+# ------------------------------------------------------- training-data ops
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace+punctuation tokenization count (BPE-ish regex split)."""
+    toks = F.split(F.lower(col), r"[^a-z0-9']+")
+    return F.size(F.filter(toks, lambda t: t != ""))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Normalized-content fingerprint: md5 over lowercase alnum-collapsed
+    text. Rolling-hash equivalent for exact near-canonical duplicate keys."""
+    normalized = F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " ")
+    return F.md5(F.trim(normalized))
+
+
+_STOPWORDS = (
+    "the of and a to in is was it for on as with that this are be or an at "
+    "by from has have not but were which you we they he she his her its"
+).split()
+
+_STOP_ES = "el la de que y en los del se las un por con una su para es al lo como".split()
+_STOP_DE = "der die und in den von zu das mit sich des auf ist im dem nicht ein".split()
+_STOP_FR = "le de la et les des en un du une que est pour qui dans par sur au".split()
+
+
+def _stopword_hits(col: Column, words: list[str]) -> Column:
+    toks = F.split(F.lower(col), r"[^\p{L}0-9']+")
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+
+
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Document quality signals: length, punctuation ratio, stopword ratio,
+    mean word length, and a combined [0,1] score. All codegen'd."""
+    n_chars = F.length(text)
+    toks = F.filter(F.split(F.lower(text), r"[^\p{L}0-9']+"), lambda t: t != "")
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
+    stop_hits = _stopword_hits(text, _STOPWORDS)
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1)).cast("double")
+    stop_ratio = stop_hits / safe_tokens.cast("double")
+    mean_word_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / safe_tokens.cast("double")
+    # crude composite: long enough, some stopwords, sane punctuation & words
+    score = (
+        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.3
+        + F.least(stop_ratio * F.lit(3.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.1
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "mean_word_len": mean_word_len,
+        "quality_score": score,
+    }
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Stopword-vote language ID heuristic (en/es/de/fr, else 'und').
+
+    Scores each language by stopword hit count; ties break by declaration
+    order via a stable greatest-score argmax built from a sorted struct array.
+    """
+    scores = F.array(
+        F.struct(_stopword_hits(text, _STOPWORDS).alias("hits"), F.lit(3).alias("prio"), F.lit("en").alias("lang")),
+        F.struct(_stopword_hits(text, _STOP_ES).alias("hits"), F.lit(2).alias("prio"), F.lit("es").alias("lang")),
+        F.struct(_stopword_hits(text, _STOP_DE).alias("hits"), F.lit(1).alias("prio"), F.lit("de").alias("lang")),
+        F.struct(_stopword_hits(text, _STOP_FR).alias("hits"), F.lit(0).alias("prio"), F.lit("fr").alias("lang")),
+    )
+    best = F.element_at(F.reverse(F.array_sort(scores)), 1)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))

@@ -1,0 +1,153 @@
+"""Alias-graph canonicalization via connected components (SURVEY §2 J7).
+
+The reference normalizes identifiers lexically only (``app/go_parser.py:
+97-100``); the north rule requires canonicalizing surface forms / duplicate
+CURIEs through the alias graph (term ↔ cross_reference edges, P5). This is
+the alternating **large-star / small-star** algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond") expressed as DataFrame
+self-joins:
+
+- per-node minima come from ``groupBy(u).agg(min(v))`` — partial (map-side)
+  aggregation absorbs hub-key skew before the shuffle;
+- the min is joined back to the edge list (AQE skew-join splits any residual
+  hot key) — no ``collect_list`` of neighborhoods, so a 10^8-degree hub node
+  never materializes in one task;
+- iterations converge in O(log d) rounds; each round is two shuffles.
+
+Every iteration caches + counts, so the loop is deterministic and the driver
+only ever sees per-round counts (never node data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    bi = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = bi.groupBy("src").agg(F.min("dst").alias("_mn"))
+    mins = mins.select(
+        "src", F.least(F.col("_mn"), F.col("src")).alias("_m")
+    )
+    return (
+        bi.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    canon = edges.select(
+        F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+    )
+    mins = canon.groupBy("a").agg(F.min("b").alias("_m"))
+    via_b = (
+        canon.join(mins, "a")
+        .select(F.col("b").alias("src"), F.col("_m").alias("dst"))
+    )
+    via_a = mins.select(F.col("a").alias("src"), F.col("_m").alias("dst"))
+    return via_b.union(via_a).where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """edges(src, dst) → (node, component) with component = min node id.
+
+    Node ids are compared as their natural type (strings compare
+    lexicographically). Self-loops and duplicates are tolerated.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    all_nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    prev_sig: tuple[int, int] | None = None
+    for _ in range(max_iterations):
+        # localCheckpoint truncates lineage — the star operators reference
+        # their input twice, so without it the logical plan doubles per
+        # round and overflows the analyzer stack by ~iteration 8.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # convergence check: stable (count, xor-ish hash) signature.
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.hash("src", "dst").cast("long")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # final edge set is a forest of stars pointing at component minima
+    comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return (
+        all_nodes.join(comp, "node", "left")
+        .select(
+            "node",
+            F.least(
+                F.coalesce(F.col("component"), F.col("node")), F.col("node")
+            ).alias("component"),
+        )
+        .distinct()
+    )
+
+
+def canonical_mapping(
+    terms: DataFrame,
+    id_col: str = "term_id",
+    xref_col: str = "cross_references",
+) -> DataFrame:
+    """terms → (term_id, canonical_id): terms connected through shared
+    cross-references collapse to one canonical CURIE (the lexicographic min
+    term id in the component).
+
+    Xref values are namespaced with a sentinel prefix so they can never
+    collide with (or win over) a real term id when taking component minima.
+    """
+    edges = (
+        terms.select(
+            F.col(id_col).alias("src"),
+            F.explode_outer(F.col(xref_col)).alias("_x"),
+        )
+        .where(F.col("_x").isNotNull() & (F.col("_x") != ""))
+        .select("src", F.concat(F.lit("xref:"), F.col("_x")).alias("dst"))
+    )
+
+    cc = connected_components(edges)
+    # components may be keyed by an xref node; re-key each component by its
+    # minimum REAL term id.
+    term_nodes = cc.join(
+        terms.select(F.col(id_col).alias("node")).distinct(), "node"
+    )
+    canon = term_nodes.groupBy("component").agg(
+        F.min("node").alias("canonical_id")
+    )
+    mapped = term_nodes.join(canon, "component").select(
+        F.col("node").alias(id_col), "canonical_id"
+    )
+    # xref-less terms never enter the edge list; they canonicalize to
+    # themselves.
+    return (
+        terms.select(F.col(id_col))
+        .distinct()
+        .join(mapped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("canonical_id"), F.col(id_col)).alias("canonical_id"),
+        )
+    )

@@ -1,0 +1,295 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each designed scale-first:
+
+- exact: hash-groupBy on content (one shuffle, partial agg);
+- fingerprint: exact after normalization (md5 of collapsed text);
+- n-gram Jaccard: shingle explode + self-join on shingle, with a document-
+  frequency cap on shingles (stop-shingle removal) so hub shingles never
+  explode the join;
+- MinHash + LSH: per-seed min over md5'd shingles (min of hex strings —
+  engine-agnostic, SQL-oracle-checkable), banded into buckets, candidate
+  pairs only within buckets (the 100 TB path: no all-pairs anywhere);
+- SimHash: 48-bit sign-sum sketch, built entirely with higher-order
+  functions (JVM codegen, no Python).
+
+All functions are pure plan builders (no actions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- tokenizing
+
+
+def tokens_expr(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != "")
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text (space-joined)."""
+    toks = tokens_expr(text)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(
+            # short docs: one shingle = whole token string, so they can
+            # still pair with identical short docs
+            F.when(F.size(toks) > 0, F.array(F.array_join(toks, " "))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+    )
+
+
+# ------------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
+    """One representative (min id) per exact content group + dup count."""
+    return df.groupBy(*content_cols).agg(
+        F.min(id_col).alias("representative_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the normalized-content fingerprint."""
+    from ..functions.text import doc_fingerprint
+
+    return (
+        df.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+
+    Plan: explode distinct shingles → (optionally drop shingles whose doc
+    frequency exceeds ``max_shingle_df`` — hub shingles contribute O(df²)
+    candidate pairs and little signal) → self-join on shingle → count
+    intersections → join per-doc sizes → Jaccard filter. Intersection
+    counting is a hash aggregate with map-side partial combine.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")).where(
+            F.col("_df") > max_shingle_df
+        )
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    a = sh.withColumnRenamed("_id", "id_a")
+    b = sh.withColumnRenamed("_id", "id_b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter")
+            / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ------------------------------------------------------------------ MinHash
+
+
+def minhash_signature_cols(text: Column, n: int = 3, num_hashes: int = 16) -> list[Column]:
+    """num_hashes MinHash values: per seed, the MIN over shingles of
+    md5(seed ∥ shingle) hex (string min — identical semantics in any engine).
+    Null when the document has no shingles."""
+    sh = shingles_expr(text, n)
+    return [
+        F.array_min(
+            F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 LSH band, verified with exact Jaccard.
+
+    Scale path: signatures are a narrow projection; banding is an explode to
+    ``bands`` rows/doc; the bucket self-join only pairs docs agreeing on a
+    full band (md5 of the band's minhashes). Exact Jaccard verification runs
+    only on candidates.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        *minhash_signature_cols(F.col(text_col), n, num_hashes),
+    ).where(F.col("mh_0").isNotNull())
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("_id", "_text", *band_cols).select(
+        "_id",
+        "_text",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_no"), F.col(f"band_{b}").alias("band_val"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "_text", F.col("band.band_no"), F.col("band.band_val"))
+    a = banded.select(
+        F.col("band_no"), F.col("band_val"), F.col("_id").alias("id_a"), F.col("_text").alias("_ta")
+    )
+    b = banded.select(
+        F.col("band_no"), F.col("band_val"), F.col("_id").alias("id_b"), F.col("_text").alias("_tb")
+    )
+    cands = (
+        a.join(b, ["band_no", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ta", "_tb")
+        .distinct()
+    )
+    sa = shingles_expr(F.col("_ta"), n)
+    sb = shingles_expr(F.col("_tb"), n)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(sa) + F.size(sb) - inter
+    return (
+        cands.withColumn(
+            "jaccard",
+            F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0)),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ SimHash
+
+SIMHASH_BITS = 48
+
+
+def simhash_expr(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Sign-sum SimHash over token md5s, as one aggregate over the token
+    array (whole-stage codegen; no UDF). Returns a bigint sketch."""
+    toks = F.array_distinct(tokens_expr(text))
+    # token hash: first 12 hex chars of md5 → 48-bit bigint
+    th = lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long")  # noqa: E731
+    zero = F.array(*[F.lit(0) for _ in range(bits)])
+    # bit positions are static → unrolled with Python ints (shiftright
+    # requires a literal shift amount)
+    sums = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(th(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for b in range(bits)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            sums, weights, lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming64_expr(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash ≤ max_hamming, using the block-permutation
+    trick: split the sketch into ``blocks`` chunks — any pair within distance
+    max_hamming < blocks must agree on ≥1 chunk, so the self-join keys on
+    (chunk_no, chunk_value) instead of all pairs."""
+    width = bits // blocks
+    mask = (1 << width) - 1
+    s = df.select(F.col(id_col).alias("_id"), simhash_expr(F.col(text_col), bits).alias("sim"))
+    chunks = s.select(
+        "_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_no"),
+                        F.shiftright(F.col("sim"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select("_id", "sim", F.col("c.chunk_no"), F.col("c.chunk_val"))
+    a = chunks.select("chunk_no", "chunk_val", F.col("_id").alias("id_a"), F.col("sim").alias("_sa"))
+    b = chunks.select("chunk_no", "chunk_val", F.col("_id").alias("id_b"), F.col("sim").alias("_sb"))
+    return (
+        a.join(b, ["chunk_no", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64_expr(F.col("_sa"), F.col("_sb")).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

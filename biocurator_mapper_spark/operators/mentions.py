@@ -1,0 +1,148 @@
+"""Mention detection: broadcast Aho-Corasick dictionary scan (SURVEY §2 J6).
+
+The reference's recall stage embeds the whole passage and asks a vector store
+for neighbors (``app/ontology_searcher.py:29-93``). At 10^12 documents recall
+must come from a dictionary scan instead: every ontology surface form (name +
+all synonyms, ``app/go_parser.py:7-40``) is compiled once on the driver into
+an Aho-Corasick automaton, broadcast to executors, and streamed over each
+document's text in O(len(text)) per doc — one narrow stage, no shuffle, no
+per-pattern rescans.
+
+Matching semantics: case-insensitive substring (all occurrences, reported as
+the distinct set of surfaces per document). This is deliberately the same
+relation as ``contains(lower(text), lower(surface))`` so the DuckDB oracle can
+verify it in pure SQL.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+
+class AhoCorasick:
+    """Minimal, picklable Aho-Corasick automaton (pure Python, no C deps).
+
+    Built once on the driver (~O(total pattern chars)), shipped to executors
+    via ``sparkContext.broadcast``. ``find_distinct`` returns the set of
+    patterns occurring anywhere in the text (substring semantics).
+    """
+
+    def __init__(self, patterns: list[str]):
+        # goto: list of dict(char -> state); fail: list[int]; out: list of
+        # frozen pattern-index tuples flushed per state.
+        self.patterns = sorted({p.lower() for p in patterns if p})
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[int]] = [[]]
+        for idx, pat in enumerate(self.patterns):
+            state = 0
+            for ch in pat:
+                nxt = self.goto[state].get(ch)
+                if nxt is None:
+                    nxt = len(self.goto)
+                    self.goto[state][ch] = nxt
+                    self.goto.append({})
+                    self.out.append([])
+                state = nxt
+            self.out[state].append(idx)
+        # BFS failure links
+        self.fail = [0] * len(self.goto)
+        q: deque[int] = deque()
+        for s in self.goto[0].values():
+            q.append(s)
+        while q:
+            r = q.popleft()
+            for ch, s in self.goto[r].items():
+                q.append(s)
+                f = self.fail[r]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[s] = self.goto[f].get(ch, 0) if self.goto[f].get(ch, 0) != s else 0
+                self.out[s].extend(self.out[self.fail[s]])
+
+    def find_distinct(self, text: str | None) -> list[str]:
+        if not text:
+            return []
+        t = text.lower()
+        state = 0
+        hits: set[int] = set()
+        goto, fail, out = self.goto, self.fail, self.out
+        for ch in t:
+            while state and ch not in goto[state]:
+                state = fail[state]
+            state = goto[state].get(ch, 0)
+            if out[state]:
+                hits.update(out[state])
+        return sorted(self.patterns[i] for i in hits)
+
+
+def build_surface_map(terms: DataFrame, include_name: bool = True) -> DataFrame:
+    """ontology terms → (surface, term_id) dictionary relation.
+
+    Surfaces are the term name plus every entry of ``all_synonyms``
+    (duplicate-preserving source arrays collapse to distinct pairs here —
+    a mention either links a term or it doesn't). Lowercased for the
+    case-insensitive scan.
+    """
+    syn = terms.select(
+        F.explode(F.col("all_synonyms")).alias("surface"), F.col("term_id")
+    )
+    if include_name:
+        syn = terms.select(F.col("name").alias("surface"), "term_id").unionByName(syn)
+    return (
+        syn.where(F.col("surface").isNotNull() & (F.col("surface") != ""))
+        .select(F.lower(F.col("surface")).alias("surface"), "term_id")
+        .distinct()
+    )
+
+
+def with_mentions(
+    pages: DataFrame,
+    surfaces: list[str],
+    text_col: str = "extracted_text",
+    out_col: str = "mentions",
+) -> DataFrame:
+    """+ mentions: array<string> of distinct dictionary surfaces in the text.
+
+    The automaton is broadcast once per job; the scan is an Arrow-batched
+    pandas UDF (narrow — scales with input splits, zero shuffle).
+    """
+    spark = pages.sparkSession
+    ac = AhoCorasick(surfaces)
+    bc = spark.sparkContext.broadcast(ac)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _scan(texts: pd.Series) -> pd.Series:
+        automaton = bc.value
+        return texts.map(automaton.find_distinct)
+
+    return pages.withColumn(out_col, _scan(F.col(text_col)))
+
+
+def mention_candidates(
+    pages: DataFrame,
+    surface_map: DataFrame,
+    text_col: str = "extracted_text",
+    id_col: str = "url",
+) -> DataFrame:
+    """pages → (url, mention, term_id) candidate rows.
+
+    Explodes the per-doc mention array and resolves surfaces to candidate
+    term ids with a **broadcast** equi-join against the dictionary relation
+    (ontology-sized → always broadcastable; the corpus never shuffles).
+    """
+    surfaces = [r.surface for r in surface_map.select("surface").distinct().collect()]
+    mentions = (
+        with_mentions(pages, surfaces, text_col=text_col)
+        .withColumn("mention", F.explode("mentions"))
+        .drop("mentions")
+    )
+    return mentions.join(
+        F.broadcast(surface_map.withColumnRenamed("surface", "mention")),
+        on="mention",
+        how="inner",
+    )

@@ -1,0 +1,161 @@
+"""Multimodal (image/audio/video) column plumbing for training-data pipelines.
+
+Media travel as opaque ``binary`` columns + a typed metadata struct; all
+per-item work runs in Arrow-batched ``mapInPandas`` stages so the Spark-side
+contract — schema, batch shape, partition sizing — is real and tested even
+though the actual codecs (PIL/ffmpeg/torchaudio) are absent in this
+container. Decoding is stubbed behind ``MEDIA_DECODERS``: the default
+``deterministic-fake`` decoder derives features from a sha256 of the bytes
+(stable, content-sensitive); registering a real decoder is a one-line swap
+and changes no plan shape.
+
+Scale notes: media rows are large — pipelines should set
+``spark.sql.files.maxPartitionBytes`` low enough that a partition of blobs
+fits executor memory, and use ``spark.sql.execution.arrow.maxRecordsPerBatch``
+to bound Arrow batch bytes (e.g. 64 for 4 MB images).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),   # image | audio | video
+        StructField("format", StringType()),       # jpeg | png | wav | mp4 ...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def _fake_decode(blob: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: 64 floats derived from the
+    content hash. Content-sensitive + reproducible; NOT a real decode."""
+    if blob is None:
+        return np.zeros(64, dtype=np.float32)
+    h = hashlib.sha256(blob).digest()
+    seed = int.from_bytes(h[:8], "big")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal(64).astype(np.float32)
+
+
+def _real_decode_unavailable(blob: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "real media decoding requires PIL/ffmpeg, not present in this "
+        "container; register a decoder in MEDIA_DECODERS"
+    )
+
+
+MEDIA_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
+    "deterministic-fake": _fake_decode,
+    "real": _real_decode_unavailable,
+}
+
+
+def with_media_meta(df: DataFrame, blob_col: str = "media", media_type: str = "image", fmt: str = "bin") -> DataFrame:
+    """Attach the typed metadata struct (sizes derivable without decoding)."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(F.col(blob_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def extract_media_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "media",
+    decoder: str = "deterministic-fake",
+) -> DataFrame:
+    """(id, blob) → (id, feature: array<float>, feat_dim, content_sha) via
+    mapInPandas. The decode callable is resolved per-executor from the
+    registry — only its NAME is captured in the closure."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("feature", ArrayType(FloatType())),
+            StructField("feat_dim", IntegerType()),
+            StructField("content_sha", StringType()),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = MEDIA_DECODERS[decoder]
+        for pdf in batches:
+            feats, dims, shas = [], [], []
+            for blob in pdf[blob_col]:
+                b = bytes(blob) if blob is not None else None
+                vec = decode(b)
+                feats.append([float(x) for x in vec])
+                dims.append(len(vec))
+                shas.append(hashlib.sha256(b or b"").hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "feature": feats,
+                    "feat_dim": dims,
+                    "content_sha": shas,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(_run, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "media",
+    n_frames: int = 4,
+    decoder: str = "deterministic-fake",
+) -> DataFrame:
+    """Video → n_frames rows per item: (id, frame_no, frame_feature).
+
+    With the fake decoder, frame f's feature derives from sha256(blob ∥ f) —
+    the explode shape, schema and partition behavior match a real
+    frame-sampler exactly.
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("frame_no", IntegerType()),
+            StructField("frame_feature", ArrayType(FloatType())),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = MEDIA_DECODERS[decoder]
+        for pdf in batches:
+            ids, frames, feats = [], [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                for f in range(n_frames):
+                    ids.append(i)
+                    frames.append(f)
+                    feats.append([float(x) for x in decode(b + bytes([f]))])
+            yield pd.DataFrame({id_col: ids, "frame_no": frames, "frame_feature": feats})
+
+    return df.select(id_col, blob_col).mapInPandas(_run, out_schema)

@@ -1,0 +1,134 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Two tiers:
+
+- ``brute_force_topk_join`` / ``broadcast_topk`` (operators.topk): exact
+  baseline — right whenever one side is broadcast-sized;
+- random-hyperplane LSH (this module): the scale path when BOTH sides are
+  huge — queries and corpus are bucketed by sign-bit signatures from a fixed
+  seeded hyperplane set, candidates pair only within a bucket (multi-probe
+  via several independent tables), and exact cosine re-scores candidates.
+  No all-pairs product ever materializes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from ..functions.embed import certainty_expr, cosine_expr
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    out_col: str = "lsh_buckets",
+) -> DataFrame:
+    """+ array<int> of ``n_tables`` bucket ids (sign-bit signatures).
+
+    The hyperplane tensor is seeded and broadcast — identical across
+    executors/runs; the signature is one (B, dim) @ (dim, tables*planes)
+    matmul per Arrow batch.
+    """
+    spark = df.sparkSession
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    flat = planes.reshape(n_tables * n_planes, dim).T  # (dim, T*P)
+    bc = spark.sparkContext.broadcast((flat, n_tables, n_planes))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _sig(vecs: pd.Series) -> pd.Series:
+        f, nt, npl = bc.value
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float32)).values)
+        bits = (mat @ f) > 0  # (B, T*P)
+        weights = 1 << np.arange(npl)
+        out = []
+        for row in bits:
+            sig = row.reshape(nt, npl) @ weights
+            out.append([int(t) * (1 << npl) + int(s) for t, s in enumerate(sig)])
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _sig(F.col(vec_col)))
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "corpus_id",
+    query_vec: str = "q_embedding",
+    corpus_vec: str = "c_embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 LSH bucket; exact cosine
+    re-scores; per-query window keeps k. Recall grows with n_tables.
+
+    Both sides shuffle ONLY on bucket id (balanced by construction —
+    hyperplanes split the space evenly), never on an all-pairs key.
+    """
+    q = with_lsh_buckets(queries, query_vec, dim, n_planes, n_tables, seed).select(
+        query_id_col, query_vec, F.explode("lsh_buckets").alias("bucket")
+    )
+    c = with_lsh_buckets(corpus, corpus_vec, dim, n_planes, n_tables, seed).select(
+        corpus_id_col, corpus_vec, F.explode("lsh_buckets").alias("bucket")
+    )
+    cands = (
+        q.join(c, "bucket")
+        .drop("bucket")
+        .dropDuplicates([query_id_col, corpus_id_col])
+        .withColumn("cosine", cosine_expr(F.col(query_vec), F.col(corpus_vec)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(corpus_id_col))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            corpus_id_col,
+            "rank",
+            "cosine",
+            certainty_expr(F.col("cosine")).alias("certainty"),
+        )
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    n_tables: int = 6,
+    seed: int = 11,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold (LSH-bucketed
+    self-join + exact verification). Higher thresholds need fewer planes."""
+    b = with_lsh_buckets(df, vec_col, dim, n_planes, n_tables, seed).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.explode("lsh_buckets").alias("bucket")
+    )
+    a = b.select("bucket", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    bb = b.select("bucket", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        a.join(bb, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,143 @@
+"""Vector top-k search as a broadcast dot-product (SURVEY §2 J5/W1).
+
+The reference's `near_vector(limit=k)` call delegates ANN to Weaviate
+(``app/ontology_searcher.py:46-61``). Here the searched collection (ontology
+terms: ~20k × 1536 ≈ 120 MB) is broadcast-sized, so the idiomatic Spark plan
+is a broadcast nested-loop theta-join executed as **one numpy matmul per
+Arrow batch** inside `mapInPandas` — the corpus (10^12 rows) never shuffles,
+and per-row top-k comes from `np.argpartition` (O(T) per query, not O(T log T)).
+
+`brute_force_topk_join` is the same operator in pure DataFrame algebra
+(crossJoin + window) — the oracle-checkable baseline for small corpora.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.embed import certainty_expr, cosine_expr
+
+
+def broadcast_topk(
+    queries: DataFrame,
+    corpus_ids: list[str],
+    corpus_matrix: np.ndarray,
+    k: int = 5,
+    query_id_col: str = "url",
+    vec_col: str = "embedding",
+    id_out_col: str = "term_id",
+) -> DataFrame:
+    """queries(id, embedding) × broadcast corpus matrix → top-k rows.
+
+    Returns (query_id, id_out_col, rank, cosine, certainty); rank is
+    1-based by descending cosine with id as the deterministic tiebreak.
+    Corpus vectors are L2-normalized once on the driver; query vectors are
+    normalized per batch, so the dot product IS the cosine.
+    """
+    spark = queries.sparkSession
+    norms = np.linalg.norm(corpus_matrix, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    normalized = (corpus_matrix / norms).astype(np.float32)
+    order = np.argsort(np.array(corpus_ids))  # deterministic tiebreak by id
+    bc = spark.sparkContext.broadcast(
+        ([corpus_ids[i] for i in order], normalized[order])
+    )
+    out_schema = StructType(
+        [
+            StructField(query_id_col, StringType()),
+            StructField(id_out_col, StringType()),
+            StructField("rank", IntegerType()),
+            StructField("cosine", FloatType()),
+            StructField("certainty", FloatType()),
+        ]
+    )
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        t = mat.T  # (dim, T)
+        kk = min(k, len(ids))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float32)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            sims = (q / qn) @ t  # (B, T)
+            # argpartition for top-k, then exact sort within the k slice;
+            # ids are pre-sorted so equal scores break ties by id ascending.
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for bi in range(sims.shape[0]):
+                cand = part[bi]
+                cand = cand[np.lexsort((cand, -sims[bi, cand]))]
+                qid = pdf[query_id_col].iat[bi]
+                for rank, ci in enumerate(cand, 1):
+                    s = float(sims[bi, ci])
+                    rows.append((qid, ids[ci], rank, s, (1.0 + s) / 2.0))
+            yield pd.DataFrame(
+                rows, columns=[query_id_col, id_out_col, "rank", "cosine", "certainty"]
+            )
+
+    return queries.select(query_id_col, vec_col).mapInPandas(_score, out_schema)
+
+
+def brute_force_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "corpus_id",
+    query_vec: str = "q_embedding",
+    corpus_vec: str = "c_embedding",
+) -> DataFrame:
+    """Pure-DataFrame top-k: broadcast cross join + cosine + ranked window.
+
+    SQL-oracle-checkable; right for broadcast-sized corpora. Columns:
+    (query_id, corpus_id, rank, cosine).
+    """
+    joined = queries.crossJoin(F.broadcast(corpus)).withColumn(
+        "cosine", cosine_expr(F.col(query_vec), F.col(corpus_vec))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(corpus_id_col)
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            corpus_id_col,
+            "rank",
+            "cosine",
+            certainty_expr(F.col("cosine")).alias("certainty"),
+        )
+    )
+
+
+def collect_corpus_matrix(
+    corpus: DataFrame, id_col: str = "term_id", vec_col: str = "embedding"
+) -> tuple[list[str], np.ndarray]:
+    """Materialize a broadcast-sized corpus (ontology dimension table) into
+    (ids, matrix). The ONE permitted collect in the engine — the dimension
+    side is bounded (~120 MB at full DO scale), never the web corpus."""
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = [r[0] for r in rows]
+    mat = (
+        np.array([r[1] for r in rows], dtype=np.float32)
+        if rows
+        else np.zeros((0, 1), dtype=np.float32)
+    )
+    return ids, mat

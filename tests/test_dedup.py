@@ -1,0 +1,112 @@
+"""Dedup operator tests: exact, fingerprint, n-gram Jaccard, MinHash-LSH,
+SimHash — each verified against a plain-Python oracle on seeded data."""
+
+from __future__ import annotations
+
+import itertools
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from biocurator_mapper_spark.operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    simhash_expr,
+)
+
+
+def _toks(t):
+    return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+
+def _shingles(t, n=3):
+    toks = _toks(t)
+    if len(toks) >= n:
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return {" ".join(toks)} if toks else set()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = random.Random(5)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(5, 15))]
+        rows.append((i, " ".join(words)))
+    # planted exact duplicates and near-duplicates
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[1][1] + " extra"))
+    rows.append((102, rows[1][1].upper()))  # case-variant → same fingerprint
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "doc_id", ["text"])
+    reps = {r.text: (r.representative_id, r.dup_count) for r in out.collect()}
+    first_text = docs.where(F.col("doc_id") == 0).collect()[0].text
+    assert reps[first_text] == (0, 2)  # doc 0 and its copy 100
+    assert sum(c for _, c in reps.values()) == docs.count()
+
+
+def test_fingerprint_dedup_catches_case_variants(spark, docs):
+    out = fingerprint_dedup(docs, "doc_id", "text")
+    t1 = docs.where(F.col("doc_id") == 1).collect()[0].text
+    import hashlib
+
+    norm = " ".join(re.split(r"[^a-z0-9]+", t1.lower())).strip()
+    norm = re.sub(r"\s+", " ", norm)
+    fp = hashlib.md5(norm.encode()).hexdigest()
+    row = [r for r in out.collect() if r.fingerprint == fp]
+    assert row and row[0].dup_count == 2  # doc 1 + uppercase variant 102
+
+
+def test_ngram_jaccard_pairs_match_oracle(spark, docs):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        sa, sb = _shingles(rows[a]), _shingles(rows[b])
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            want[(a, b)] = j
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+    assert (0, 100) in got  # exact dup pair found
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=16, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert (0, 100) in got  # identical docs always collide in every band
+    # verified Jaccard means no false positives below threshold
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    for a, b in got:
+        sa, sb = _shingles(rows[a]), _shingles(rows[b])
+        assert len(sa & sb) / len(sa | sb) >= 0.5
+
+
+def test_simhash_identical_docs_zero_distance(spark, docs):
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got.get((0, 100)) == 0
+    # simhash of identical token multisets is equal
+    s = docs.select("doc_id", simhash_expr(F.col("text")).alias("sh")).collect()
+    by_id = {r.doc_id: r.sh for r in s}
+    assert by_id[0] == by_id[100]
+    assert by_id[1] == by_id[102]  # case-insensitive tokens

@@ -1,0 +1,114 @@
+"""Scalar function tests: CURIE, fingerprints, token counts, quality,
+lang-id, truncation, content hash, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from biocurator_mapper_spark.functions.text import (
+    content_hash,
+    curie_normalize,
+    doc_fingerprint,
+    lang_id_expr,
+    quality_score_cols,
+    token_count,
+    truncate_with_ellipsis,
+    with_url_host,
+)
+from biocurator_mapper_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample,
+    with_media_meta,
+)
+
+
+def test_curie_normalize(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://purl.obolibrary.org/obo/GO_0000001",),
+            ("http://purl.obolibrary.org/obo/DOID_0001816",),
+            ("malformed_uri",),
+        ],
+        "uri string",
+    )
+    got = [r.c for r in df.select(curie_normalize(F.col("uri")).alias("c")).collect()]
+    assert got == ["GO:0000001", "DOID:0001816", "malformed:uri"]
+
+
+def test_url_host_and_truncate(spark):
+    df = spark.createDataFrame(
+        [("https://hub.example.com/a/b?q=1", "x" * 9000)], "url string, t string"
+    )
+    r = df.select(
+        with_url_host(F.col("url")).alias("host"),
+        F.length(truncate_with_ellipsis(F.col("t"), 8000)).alias("l"),
+        truncate_with_ellipsis(F.col("t"), 8000).alias("tt"),
+    ).collect()[0]
+    assert r.host == "hub.example.com"
+    assert r.l == 8000 and r.tt.endswith("...")
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame([("Hello, World! it's FINE",)], "t string")
+    r = df.select(
+        token_count(F.col("t")).alias("n"), doc_fingerprint(F.col("t")).alias("fp")
+    ).collect()[0]
+    assert r.n == 4  # hello world it's fine
+    want = hashlib.md5(b"hello world it's fine").hexdigest()
+    # fingerprint collapses punctuation to spaces: "hello world it s fine"
+    want2 = hashlib.md5(b"hello world it s fine").hexdigest()
+    assert r.fp in (want, want2)
+
+
+def test_quality_and_lang(spark):
+    df = spark.createDataFrame(
+        [
+            ("good", "The results were consistent and the methods are described in the paper."),
+            ("punct", "!!! ??? ;;; ### $$$ %%%"),
+            ("es", "el estudio de la salud y los datos en una muestra con resultados"),
+        ],
+        "k string, t string",
+    )
+    cols = quality_score_cols(F.col("t"))
+    out = {r.k: r for r in df.select("k", *[v.alias(n) for n, v in cols.items()],
+                                     lang_id_expr(F.col("t")).alias("lang")).collect()}
+    assert out["good"].quality_score > out["punct"].quality_score
+    assert out["good"].lang == "en"
+    assert out["es"].lang == "es"
+    assert out["punct"].punct_ratio > 0.5
+
+
+def test_content_hash_matches_reference_shape(spark):
+    df = spark.createDataFrame([("v1", "g1", 42)], "version string, graph string, n int")
+    r = df.select(content_hash(F.col("version"), F.col("graph"), F.col("n")).alias("h")).collect()[0]
+    assert len(r.h) == 16
+    assert all(c in "0123456789abcdef" for c in r.h)
+
+
+def test_media_features_deterministic_and_content_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, b"AAAA"), (2, b"AAAA"), (3, b"BBBB"), (4, None)],
+        "media_id long, media binary",
+    )
+    out = {r.media_id: r for r in extract_media_features(df).collect()}
+    assert out[1].feature == out[2].feature  # same bytes → same feature
+    assert out[1].feature != out[3].feature
+    assert out[1].feat_dim == 64
+    assert out[1].content_sha == hashlib.sha256(b"AAAA").hexdigest()
+    assert out[4].feature == [0.0] * 64  # null blob degrades
+
+
+def test_frame_sample_shape(spark):
+    df = spark.createDataFrame([(1, b"vid-bytes")], "media_id long, media binary")
+    rows = frame_sample(df, n_frames=3).collect()
+    assert [r.frame_no for r in rows] == [0, 1, 2]
+    assert len({tuple(r.frame_feature) for r in rows}) == 3  # frames differ
+
+
+def test_media_meta(spark):
+    df = spark.createDataFrame([(1, b"xyz")], "media_id long, media binary")
+    r = with_media_meta(df, media_type="image", fmt="jpeg").collect()[0]
+    assert r.media_meta.media_type == "image"
+    assert r.media_meta.n_bytes == 3

@@ -1,0 +1,213 @@
+"""Unit tests: Aho-Corasick mentions, top-k scoring, rerank, connected
+components."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from biocurator_mapper_spark.functions.embed import hash_embed_py
+from biocurator_mapper_spark.operators import (
+    AhoCorasick,
+    broadcast_topk,
+    brute_force_topk_join,
+    build_surface_map,
+    canonical_mapping,
+    connected_components,
+    mention_candidates,
+    parse_llm_json,
+    rerank_best_match,
+)
+
+
+# ------------------------------------------------------------- Aho-Corasick
+def test_aho_corasick_basics():
+    ac = AhoCorasick(["he", "she", "his", "hers", "apoptosis of t cells"])
+    assert ac.find_distinct("ushers") == ["he", "hers", "she"]
+    assert ac.find_distinct("HIS and HERS") == ["he", "hers", "his"]
+    assert ac.find_distinct("") == []
+    assert ac.find_distinct(None) == []
+    assert ac.find_distinct("We saw apoptosis of T cells today.") == [
+        "apoptosis of t cells"
+    ]
+
+
+def test_aho_corasick_matches_naive_substring():
+    import random
+
+    rng = random.Random(0)
+    alphabet = "abcd"
+    pats = {"".join(rng.choice(alphabet) for _ in range(rng.randint(1, 4))) for _ in range(30)}
+    ac = AhoCorasick(sorted(pats))
+    for _ in range(50):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        want = sorted({p for p in pats if p in text})
+        assert ac.find_distinct(text) == want, text
+
+
+def test_mention_candidates(spark, terms):
+    surface_map = build_surface_map(terms)
+    pages = spark.createDataFrame(
+        [
+            ("u1", "Patients with hemangiosarcoma were studied."),
+            ("u2", "NIDDM progression and adult-onset diabetes."),
+            ("u3", "nothing relevant here"),
+        ],
+        "url string, extracted_text string",
+    )
+    got = mention_candidates(pages, surface_map)
+    rows = {(r.url, r.mention, r.term_id) for r in got.collect()}
+    assert ("u1", "hemangiosarcoma", "DOID:0001816") in rows
+    assert ("u2", "niddm", "DOID:9352") in rows
+    assert ("u2", "adult-onset diabetes", "DOID:9352") in rows
+    assert not any(u == "u3" for (u, _, _) in rows)
+
+
+# ------------------------------------------------------------------- top-k
+def test_broadcast_topk_agrees_with_brute_force(spark):
+    rng = np.random.default_rng(42)
+    dim = 16
+    corpus = [(f"c{i:03d}", [float(x) for x in rng.standard_normal(dim)]) for i in range(50)]
+    queries = [(f"q{i}", [float(x) for x in rng.standard_normal(dim)]) for i in range(7)]
+    qdf = spark.createDataFrame(queries, "url string, embedding array<float>")
+    cids = [c[0] for c in corpus]
+    cmat = np.array([c[1] for c in corpus], dtype=np.float32)
+
+    fast = broadcast_topk(qdf, cids, cmat, k=5)
+    fast_rows = {(r.url, r.rank): r.term_id for r in fast.collect()}
+
+    cdf = spark.createDataFrame(corpus, "corpus_id string, c_embedding array<float>")
+    slow = brute_force_topk_join(
+        qdf.withColumnRenamed("url", "query_id").withColumnRenamed("embedding", "q_embedding"),
+        cdf,
+        k=5,
+    )
+    slow_rows = {(r.query_id, r.rank): r.corpus_id for r in slow.collect()}
+    assert fast_rows == slow_rows
+    assert len(fast_rows) == 7 * 5
+
+
+def test_topk_zero_vector_query(spark):
+    qdf = spark.createDataFrame([("q0", [0.0, 0.0])], "url string, embedding array<float>")
+    out = broadcast_topk(qdf, ["a", "b"], np.array([[1, 0], [0, 1]], np.float32), k=2)
+    rows = out.collect()
+    assert len(rows) == 2  # degrades gracefully, no NaN
+    assert all(abs(r.cosine) < 1e-6 for r in rows)
+
+
+# ------------------------------------------------------------------ rerank
+def test_rerank_prefers_exact_synonym(spark, terms):
+    cands = spark.createDataFrame(
+        [
+            # certainty says DOID:14566, but the mention is an exact synonym
+            # of DOID:0001816 — exactness must win (stub reproduces the
+            # prompt's instruction to weigh synonym relevance).
+            ("u1", "hemangiosarcoma", "DOID:0001816", 0.70),
+            ("u1", "hemangiosarcoma", "DOID:14566", 0.90),
+            ("u2", "proliferative disorder", "DOID:14566", 0.80),
+        ],
+        "url string, mention string, term_id string, certainty float",
+    )
+    best = rerank_best_match(cands, terms)
+    by_url = {r.url: r for r in best.collect()}
+    assert by_url["u1"].term_id == "DOID:0001816"
+    assert by_url["u1"].alternatives == ["DOID:14566"]
+    assert by_url["u1"].confidence > 0.7
+    assert "exact surface match" in by_url["u1"].reason
+    assert by_url["u2"].term_id == "DOID:14566"
+    assert by_url["u2"].alternatives == []
+
+
+def test_parse_llm_json(spark):
+    df = spark.createDataFrame(
+        [
+            ('```json\n{"id": "GO:1", "name": "x", "confidence": 0.9, "reason": "r"}\n```', ["GO:1", "GO:2"]),
+            ('{"id": "GO:9", "name": "x", "confidence": 0.9, "reason": "r"}', ["GO:1"]),
+            ('{"id": "GO:1", "name": "x"}', ["GO:1"]),
+            ("not json at all", ["GO:1"]),
+        ],
+        "llm_raw string, candidate_ids array<string>",
+    )
+    rows = parse_llm_json(df).select("llm_result", "llm_error").collect()
+    assert rows[0].llm_error is None and rows[0].llm_result.id == "GO:1"
+    assert "invalid ID GO:9" in rows[1].llm_error
+    assert "missing required keys" in rows[2].llm_error
+    assert "missing required keys" in rows[3].llm_error
+
+
+# ------------------------------------------------- connected components / canon
+def test_connected_components_chain_and_star(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),  # chain
+         ("hub", "x1"), ("hub", "x2"), ("hub", "x3"),  # star
+         ("solo1", "solo2")],
+        "src string, dst string",
+    )
+    cc = connected_components(edges)
+    comp = {r.node: r.component for r in cc.collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == "a"
+    assert comp["hub"] == comp["x1"] == comp["x2"] == comp["x3"] == "hub"
+    assert comp["solo1"] == comp["solo2"] == "solo1"
+    assert len({comp[n] for n in comp}) == 3
+
+
+def test_connected_components_random_vs_networkx_style(spark):
+    # union-find oracle in plain python
+    import random
+
+    rng = random.Random(1)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(25)]
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    groups: dict[str, str] = {}
+    for n in nodes:
+        groups.setdefault(find(n), min(m for m in nodes if find(m) == find(n)))
+    expected = {n: groups[find(n)] for n in nodes if any(n in e for e in edges)}
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    touched = {n for e in edges for n in e if e[0] != e[1]}
+    for n in touched:
+        assert got[n] == expected[n], (n, got.get(n), expected[n])
+
+
+def test_canonical_mapping_shared_xref(spark):
+    terms = spark.createDataFrame(
+        [
+            ("DOID:2", ["MESH:1"]),
+            ("DOID:1", ["MESH:1", "OMIM:9"]),  # shares MESH:1 → same component
+            ("DOID:3", ["ICD:7"]),
+            ("DOID:4", []),  # xref-less → maps to itself
+        ],
+        "term_id string, cross_references array<string>",
+    )
+    got = {r.term_id: r.canonical_id for r in canonical_mapping(terms).collect()}
+    assert got == {
+        "DOID:1": "DOID:1",
+        "DOID:2": "DOID:1",
+        "DOID:3": "DOID:3",
+        "DOID:4": "DOID:4",
+    }
+
+
+# ------------------------------------------------------------- embeddings
+def test_hash_embed_deterministic_and_word_sensitive():
+    a = hash_embed_py("apoptosis of T cells")
+    b = hash_embed_py("apoptosis of T cells")
+    c = hash_embed_py("completely different words entirely")
+    assert a == b
+    assert np.isclose(np.linalg.norm(a), 1.0, atol=1e-5)
+    cos_ac = float(np.dot(a, c))
+    overlap = hash_embed_py("apoptosis of T cells observed")
+    cos_ao = float(np.dot(a, overlap))
+    assert cos_ao > cos_ac  # shared words → higher similarity
+    assert hash_embed_py("") == [0.0] * 64

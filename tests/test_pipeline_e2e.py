@@ -1,0 +1,99 @@
+"""Minimum end-to-end slice (SURVEY §7): synthetic pages × fixture ontology →
+triples matching hand-computed goldens; checkpoint/resume; metrics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biocurator_mapper_spark.pipeline import build_triples
+from biocurator_mapper_spark.pipeline.triples import TriplesPipeline
+from biocurator_mapper_spark.sources.catalog import ParquetCatalog
+from biocurator_mapper_spark.testdata import pages_dataframe
+
+SURFACES = ["hemangiosarcoma", "apoptosis of T cells", "type 2 diabetes mellitus"]
+
+
+def test_flagship_query_apoptosis(spark, terms):
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://x.test/1",
+                None,
+                "<html><body><main><p>We observed apoptosis of T cells in vitro.</p></main></body></html>".encode(),
+                None,
+                "en",
+            )
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    triples = build_triples(pages, terms).collect()
+    assert len(triples) == 1
+    t = triples[0]
+    # "apoptosis of T cells" is a narrow synonym of GO:0006915 — the engine's
+    # restatement of the reference README's flagship resolve (README.md:28-30)
+    assert t.subj == "https://x.test/1"
+    assert t.obj == "GO:0006915"
+    assert t.pred == "GO:mapped_to"
+    assert t.mention == "apoptosis of t cells"
+    assert 0.0 <= t.confidence <= 1.0
+
+
+def test_triples_on_synthetic_pages(spark, terms):
+    pages = pages_dataframe(spark, SURFACES, n_pages=80, seed=42)
+    triples = build_triples(pages, terms)
+    rows = triples.collect()
+    assert len(rows) > 20
+    by_subj = {r.subj: r for r in rows}
+    # every triple's subject is a real page and the mention occurs in its text
+    page_rows = {p.url: p for p in pages.collect()}
+    for r in rows:
+        assert r.subj in page_rows
+        assert r.mention in page_rows[r.subj].text.lower()
+        assert r.pred.endswith(":mapped_to")
+        assert 0 <= r.part_bucket < 256
+    # a page whose ONLY dictionary surface is the exact synonym
+    # "hemangiosarcoma" must map to DOID:0001816; pages with several exact
+    # surfaces are legitimately won by any of them
+    others = ["apoptosis", "type 2 diabetes", "diabetes mellitus", "niddm"]
+    for url, p in page_rows.items():
+        low = p.text.lower()
+        if "hemangiosarcoma" in low and not any(o in low for o in others):
+            assert by_subj[url].obj == "DOID:0001816", url
+
+
+def test_no_mention_pages_produce_no_triples(spark, terms):
+    pages = spark.createDataFrame(
+        [("u1", None, None, "totally unrelated content", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    assert build_triples(pages, terms).count() == 0
+
+
+def test_pipeline_checkpoint_resume(spark, terms, tmp_path):
+    catalog = ParquetCatalog(spark, str(tmp_path / "wh"))
+    pipe = TriplesPipeline(catalog, n_buckets=4)
+    pages = pages_dataframe(spark, SURFACES, n_pages=40, seed=42)
+
+    out1 = pipe.run(pages, terms, run_fingerprint="fp1")
+    n1 = out1.count()
+    assert n1 > 0
+
+    # second run with same fingerprint: all buckets checkpointed → no work
+    out2 = pipe.run(pages, terms, run_fingerprint="fp1")
+    assert out2.count() == n1
+    metrics = catalog.read_log("_metrics").orderBy("ts").collect()
+    assert metrics[-1].rows_in == 0  # resume skipped everything
+
+    ckpts = catalog.read_log("_checkpoints")
+    assert ckpts.where(F.col("status") == "committed").count() >= 4
+
+
+def test_metrics_rows_emitted(spark, terms, tmp_path):
+    catalog = ParquetCatalog(spark, str(tmp_path / "wh2"))
+    pipe = TriplesPipeline(catalog, n_buckets=2)
+    pages = pages_dataframe(spark, SURFACES, n_pages=10, seed=3)
+    pipe.run(pages, terms, run_fingerprint="fpm")
+    m = catalog.read_log("_metrics").collect()
+    assert len(m) == 1
+    assert m[0].rows_in == 14  # 10 + 4 edge rows
+    assert m[0].rows_per_s > 0

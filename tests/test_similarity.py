@@ -1,0 +1,67 @@
+"""ANN tests: LSH top-k recall vs exact brute force; cosine-pair dedup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from biocurator_mapper_spark.operators.similarity import (
+    embedding_cosine_pairs,
+    lsh_topk,
+    with_lsh_buckets,
+)
+from biocurator_mapper_spark.operators.topk import brute_force_topk_join
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def vec_data(spark):
+    rng = np.random.default_rng(0)
+    # clustered corpus so neighbors are meaningful
+    centers = rng.standard_normal((5, DIM))
+    rows = []
+    for i in range(100):
+        c = centers[i % 5]
+        v = c + 0.1 * rng.standard_normal(DIM)
+        rows.append((f"v{i:03d}", [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vid string, vec array<float>").cache()
+    return df
+
+
+def test_lsh_buckets_deterministic(spark, vec_data):
+    a = with_lsh_buckets(vec_data, "vec", DIM).select("vid", "lsh_buckets").collect()
+    b = with_lsh_buckets(vec_data, "vec", DIM).select("vid", "lsh_buckets").collect()
+    assert sorted((r.vid, tuple(r.lsh_buckets)) for r in a) == sorted(
+        (r.vid, tuple(r.lsh_buckets)) for r in b
+    )
+    assert all(len(r.lsh_buckets) == 4 for r in a)
+
+
+def test_lsh_topk_recall_vs_exact(spark, vec_data):
+    queries = vec_data.limit(10).select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("q_embedding")
+    )
+    corpus = vec_data.select(
+        F.col("vid").alias("corpus_id"), F.col("vec").alias("c_embedding")
+    )
+    exact = brute_force_topk_join(queries, corpus, k=5)
+    approx = lsh_topk(queries, corpus, DIM, k=5, n_planes=6, n_tables=8)
+    ex = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    ap = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, recall  # clustered data + 8 tables → high recall
+
+
+def test_embedding_cosine_pairs_planted_dup(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(DIM)
+    rows = [("a", [float(x) for x in base]), ("b", [float(x) for x in base * 2.0])]
+    for i in range(20):
+        rows.append((f"r{i}", [float(x) for x in rng.standard_normal(DIM)]))
+    df = spark.createDataFrame(rows, "vid string, vec array<float>")
+    pairs = embedding_cosine_pairs(df, "vid", "vec", DIM, threshold=0.99)
+    got = {(r.id_a, r.id_b): r.cosine for r in pairs.collect()}
+    assert ("a", "b") in got
+    assert got[("a", "b")] > 0.999  # scaled copy → cosine 1

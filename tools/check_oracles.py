@@ -1,0 +1,98 @@
+"""Side-by-side check of __spark_entry__.queries() vs oracle_sql() via DuckDB.
+
+Mimics the driver's CORRECTNESS gate: row count + schema (column names) +
+order-insensitive value comparison (columns sorted by name, rows sorted).
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from biocurator_mapper_spark.session import get_spark  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            sp_cols = df.columns
+            sp_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"[FAIL-spark] {name}: {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(sp_rows)} rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dk_cols = [d[0] for d in res.description]
+            dk_rows = res.fetchall()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"[FAIL-duck ] {name}: {str(e)[:200]}")
+            continue
+        problems = []
+        if sorted(sp_cols) != sorted(dk_cols):
+            problems.append(f"schema {sorted(sp_cols)} != {sorted(dk_cols)}")
+        if len(sp_rows) != len(dk_rows):
+            problems.append(f"rowcount {len(sp_rows)} != {len(dk_rows)}")
+        if not problems:
+            a = normalize(sp_rows, sp_cols)
+            b = normalize(dk_rows, dk_cols)
+            if a != b:
+                diff = [x for x, y in zip(a, b) if x != y][:3]
+                diffb = [y for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, e.g. spark={diff} duck={diffb}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"[FAIL      ] {name}: {'; '.join(problems)[:400]}")
+        else:
+            print(f"[OK        ] {name}: {len(sp_rows)} rows")
+    print(f"\n{len(failures)} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
