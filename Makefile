@@ -1,0 +1,24 @@
+# biocurator_mapper_spark build/test/bench entry points
+
+PY ?= python
+
+.PHONY: test bench scaling package check-oracles
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+bench:
+	$(PY) bench.py
+
+scaling:
+	$(PY) tools/scaling_bench.py kg_triples
+
+check-oracles:
+	$(PY) tools/check_oracles.py /root/testdata/sf0.01
+
+# zip the package for spark-submit --py-files on a real cluster:
+#   spark-submit --py-files dist/bcms.zip your_job.py
+package:
+	mkdir -p dist
+	rm -f dist/bcms.zip
+	zip -qr dist/bcms.zip biocurator_mapper_spark -x '*__pycache__*'

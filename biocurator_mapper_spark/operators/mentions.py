@@ -81,22 +81,47 @@ class AhoCorasick:
 
 
 def build_surface_map(terms: DataFrame, include_name: bool = True) -> DataFrame:
-    """ontology terms → (surface, term_id) dictionary relation.
+    """ontology terms → (surface, term_id, is_exact) dictionary relation.
 
     Surfaces are the term name plus every entry of ``all_synonyms``
     (duplicate-preserving source arrays collapse to distinct pairs here —
     a mention either links a term or it doesn't). Lowercased for the
-    case-insensitive scan.
+    case-insensitive scan. ``is_exact`` marks surfaces that are the term's
+    name or an exact synonym — precomputing it here lets the rerank stage
+    score exactness without joining the terms table back in.
     """
     syn = terms.select(
-        F.explode(F.col("all_synonyms")).alias("surface"), F.col("term_id")
+        F.explode(F.col("all_synonyms")).alias("surface"),
+        F.col("term_id"),
+        F.col("name"),
+        F.coalesce(F.col("exact_synonyms"), F.array().cast("array<string>")).alias(
+            "_ex"
+        ),
     )
     if include_name:
-        syn = terms.select(F.col("name").alias("surface"), "term_id").unionByName(syn)
+        syn = terms.select(
+            F.col("name").alias("surface"),
+            "term_id",
+            F.col("name"),
+            F.coalesce(F.col("exact_synonyms"), F.array().cast("array<string>")).alias(
+                "_ex"
+            ),
+        ).unionByName(syn)
     return (
         syn.where(F.col("surface").isNotNull() & (F.col("surface") != ""))
-        .select(F.lower(F.col("surface")).alias("surface"), "term_id")
-        .distinct()
+        .select(
+            F.lower(F.col("surface")).alias("surface"),
+            "term_id",
+            (
+                (F.lower(F.col("surface")) == F.lower(F.col("name")))
+                | F.array_contains(
+                    F.transform(F.col("_ex"), lambda s: F.lower(s)),
+                    F.lower(F.col("surface")),
+                )
+            ).alias("is_exact"),
+        )
+        .groupBy("surface", "term_id")
+        .agg(F.max("is_exact").alias("is_exact"))
     )
 
 

@@ -23,14 +23,13 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..extract.html_text import with_extracted_text
 from ..functions.embed import certainty_expr, cosine_expr, with_hash_embedding
 from ..operators.canonicalize import canonical_mapping
-from ..operators.mentions import build_surface_map, mention_candidates
-from ..operators.rerank import rerank_best_match
+from ..operators.mentions import build_surface_map, with_mentions
 from ..sources.catalog import ParquetCatalog
 
 DEFAULT_K = 5  # reference app/config.py:10
@@ -46,13 +45,27 @@ def build_triples(
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) × terms → triples DataFrame.
 
-    Pure plan construction — no actions, no writes. Output schema per
-    FIXTURES.md §5.
+    Pure plan construction — no actions on the corpus, no writes. Output
+    schema per FIXTURES.md §5.
+
+    The physical plan has exactly ONE wide exchange over the corpus (the
+    per-url groupBy); everything else is narrow or broadcast:
+
+    - stage A (narrow): extract + passage embedding + mention scan run in a
+      single pass over each input split — one Arrow round-trip, the corpus
+      is read once;
+    - broadcast joins attach (term_id, is_exact) per surface and the term
+      vector per term — ontology-sized sides, never shuffled;
+    - cosine/certainty are JVM expressions (whole-stage codegen);
+    - stage B (one shuffle, hash on near-unique url → no hot keys): a
+      groupBy(url) collects the candidate structs, and per-term collapse,
+      top-k selection, exactness-aware rerank, winner/alternatives split
+      are all array expressions inside the aggregate — replacing the
+      window + three self-joins a naive formulation would shuffle for.
     """
     terms = terms.cache()
 
-    # 1. EXTRACT (P14): html → text; rows with no html fall back to the
-    #    provided text column when present.
+    # --- stage A: one narrow pass over the corpus -------------------------
     has_text = "text" in pages.columns
     extracted = with_extracted_text(pages).withColumn(
         "passage",
@@ -62,58 +75,158 @@ def build_triples(
             F.lit(""),
         ),
     )
-
-    # 2. MENTIONS (J6): broadcast dictionary scan → (url, passage, mention,
-    #    term_id) candidate rows. Pages with zero mentions exit here (the
-    #    reference returns an error response for no-candidate passages —
-    #    those rows land in metrics, not triples).
     surface_map = build_surface_map(terms)
-    candidates = mention_candidates(
-        extracted.select("url", "warc_ts", "lang", F.col("passage").alias("extracted_text")),
-        surface_map,
+    surfaces = [r.surface for r in surface_map.select("surface").distinct().collect()]
+    enriched = with_hash_embedding(
+        with_mentions(extracted, surfaces, text_col="passage"),
+        "passage",
+        "page_embedding",
     )
 
-    # 3. SCORE (M1/J5): passage embedding (Arrow UDF, one vector per url —
-    #    computed pre-explode so each page embeds once) × term embedding
-    #    (broadcast) → cosine + certainty, all JVM-side.
+    # explode mentions; zero-mention pages exit here (the reference returns
+    # an error response for no-candidate passages — metrics, not triples)
+    cand = (
+        enriched.select(
+            "url", "warc_ts", "lang", "page_embedding", F.explode("mentions").alias("mention")
+        )
+        .join(
+            F.broadcast(surface_map.withColumnRenamed("surface", "mention")),
+            "mention",
+        )
+    )
+
+    # scoring: term vectors broadcast; cosine in codegen (M1/J5)
     term_vecs = with_hash_embedding(
         terms.select("term_id", "searchable_text"), "searchable_text", "term_embedding"
     ).select("term_id", "term_embedding")
-    page_vecs = with_hash_embedding(
-        extracted.select("url", "passage"), "passage", "page_embedding"
-    ).select("url", "page_embedding")
-
     scored = (
-        candidates.join(page_vecs, "url")
-        .join(F.broadcast(term_vecs), "term_id")
+        cand.join(F.broadcast(term_vecs), "term_id")
         .withColumn(
-            "cosine", cosine_expr(F.col("page_embedding"), F.col("term_embedding"))
+            "certainty",
+            certainty_expr(
+                cosine_expr(F.col("page_embedding"), F.col("term_embedding"))
+            ).cast("double"),
         )
-        .withColumn("certainty", certainty_expr(F.col("cosine")).cast("float"))
         .drop("page_embedding", "term_embedding")
     )
 
-    # 3b. collapse to one candidate per (url, term): several surfaces of the
-    #     same term must not burn top-k slots or appear as their own
-    #     alternatives. Certainty is per (url, term) constant (same vectors).
-    collapsed = scored.groupBy("url", "term_id").agg(
-        F.max("certainty").alias("certainty"),
-        F.array_sort(F.collect_set("mention")).alias("mentions"),
+    # --- stage B: the one shuffle — groupBy(url) + in-group rerank --------
+    g = scored.groupBy("url").agg(
+        F.collect_list(
+            F.struct("term_id", "mention", "is_exact", "certainty")
+        ).alias("_cl"),
         F.first("warc_ts").alias("warc_ts"),
         F.first("lang").alias("lang"),
     )
 
-    # 4. TOP-K (W1): k candidates per url, ordered by certainty (the
-    #    reference's near_vector(limit=k)); deterministic tiebreak.
-    w = Window.partitionBy("url").orderBy(F.desc("certainty"), F.asc("term_id"))
-    topk = collapsed.withColumn("sim_rank", F.row_number().over(w)).where(
-        F.col("sim_rank") <= k
+    cl = F.col("_cl")
+    # per-term collapse (W5 collapse of duplicate surfaces): distinct term
+    # ids, each with max certainty, any-exact flag, and its most specific
+    # (longest) surface as the reported mention
+    term_ids = F.array_distinct(F.transform(cl, lambda x: x["term_id"]))
+    per_term = F.transform(
+        term_ids,
+        lambda t: F.struct(
+            t.alias("term_id"),
+            F.array_max(
+                F.transform(
+                    F.filter(cl, lambda x: x["term_id"] == t), lambda x: x["certainty"]
+                )
+            ).alias("certainty"),
+            F.exists(
+                cl, lambda x: (x["term_id"] == t) & x["is_exact"]
+            ).alias("exact_hit"),
+            F.try_element_at(
+                F.array_sort(
+                    F.transform(
+                        F.filter(cl, lambda x: x["term_id"] == t),
+                        lambda x: F.struct(
+                            (-F.length(x["mention"])).alias("l"),
+                            x["mention"].alias("m"),
+                        ),
+                    )
+                ),
+                F.lit(1),
+            )["m"].alias("mention"),
+        ),
+    )
+    # top-k by certainty (W1, the reference's near_vector(limit=k)), then
+    # rerank by stub score = exactness bonus + certainty (M5 stub)
+    topk = F.slice(
+        F.array_sort(
+            F.transform(
+                per_term,
+                lambda c: F.struct(
+                    (-c["certainty"]).alias("_negcert"),
+                    c["term_id"].alias("term_id"),
+                    c["certainty"].alias("certainty"),
+                    c["exact_hit"].alias("exact_hit"),
+                    c["mention"].alias("mention"),
+                ),
+            )
+        ),
+        1,
+        k,
+    )
+    ranked = F.array_sort(
+        F.transform(
+            topk,
+            lambda c: F.struct(
+                (
+                    -(
+                        F.when(c["exact_hit"], F.lit(1.0)).otherwise(F.lit(0.0))
+                        + c["certainty"]
+                    )
+                ).alias("_negscore"),
+                (-c["certainty"]).alias("_negcert"),
+                c["term_id"].alias("term_id"),
+                c["certainty"].alias("certainty"),
+                c["exact_hit"].alias("exact_hit"),
+                c["mention"].alias("mention"),
+            ),
+        )
+    )
+    winner = F.try_element_at(ranked, F.lit(1))
+    best = (
+        g.withColumn("_ranked", ranked)
+        .withColumn("_w", winner)
+        .select(
+            "url",
+            "warc_ts",
+            "lang",
+            F.col("_w")["term_id"].alias("term_id"),
+            F.col("_w")["mention"].alias("mention"),
+            F.col("_w")["certainty"].cast("float").alias("certainty"),
+            F.least(
+                F.lit(1.0),
+                F.col("_w")["certainty"]
+                + F.when(F.col("_w")["exact_hit"], F.lit(0.05)).otherwise(F.lit(0.0)),
+            )
+            .cast("float")
+            .alias("confidence"),
+            F.when(
+                F.col("_w")["exact_hit"],
+                F.concat(
+                    F.lit("exact surface match '"),
+                    F.col("_w")["mention"],
+                    F.lit("' for "),
+                    F.col("_w")["term_id"],
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("highest embedding certainty for "),
+                    F.col("_w")["term_id"],
+                )
+            )
+            .alias("reason"),
+            F.transform(
+                F.slice(F.col("_ranked"), 2, k), lambda c: c["term_id"]
+            ).alias("alternatives"),
+        )
     )
 
-    # 5. RERANK (M5): one winner per url + alternatives.
-    best = rerank_best_match(topk.drop("sim_rank"), terms)
-
-    # 6. CANONICALIZE (J7): collapse alias CURIEs.
+    # 6. CANONICALIZE (J7): collapse alias CURIEs (broadcast mapping).
     canon = canonical_mapping(terms)
     best = (
         best.join(F.broadcast(canon), "term_id", "left")

@@ -136,14 +136,18 @@ def test_parse_llm_json(spark):
 
 
 # ------------------------------------------------- connected components / canon
-def test_connected_components_chain_and_star(spark):
+import pytest
+
+
+@pytest.mark.parametrize("strategy", ["driver", "distributed"])
+def test_connected_components_chain_and_star(spark, strategy):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d"),  # chain
          ("hub", "x1"), ("hub", "x2"), ("hub", "x3"),  # star
          ("solo1", "solo2")],
         "src string, dst string",
     )
-    cc = connected_components(edges)
+    cc = connected_components(edges, strategy=strategy)
     comp = {r.node: r.component for r in cc.collect()}
     assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == "a"
     assert comp["hub"] == comp["x1"] == comp["x2"] == comp["x3"] == "hub"
@@ -174,7 +178,10 @@ def test_connected_components_random_vs_networkx_style(spark):
     expected = {n: groups[find(n)] for n in nodes if any(n in e for e in edges)}
 
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {r.node: r.component for r in connected_components(df).collect()}
+    got = {
+        r.node: r.component
+        for r in connected_components(df, strategy="distributed").collect()
+    }
     touched = {n for e in edges for n in e if e[0] != e[1]}
     for n in touched:
         assert got[n] == expected[n], (n, got.get(n), expected[n])
