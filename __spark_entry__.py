@@ -315,6 +315,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
 
+    def a3_batch_count(spark, sf_dir):
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return e.groupBy("event_type").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(100)).alias("total_batches")
+        )
+
+    def a4_reject_tally(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        reason = (
+            F.when(F.length("text") < 100, F.lit("too_short"))
+            .when(F.lower(F.col("text")).contains("slow"), F.lit("excluded_pattern"))
+            .otherwise(F.lit("kept"))
+        )
+        return d.groupBy(reason.alias("reject_reason")).agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+
+    def p11_json_parse(spark, sf_dir):
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        parsed = F.from_json(F.col("props"), "k int")
+        return e.select(
+            "event_id", parsed["k"].alias("k_value")
+        ).where(F.col("k_value").isNotNull())
+
+    def skew_salted_host_stats(spark, sf_dir):
+        from biocurator_mapper_spark.operators.skew import salted_agg
+
+        d = _docs(spark, sf_dir)
+        return salted_agg(
+            d,
+            ["source"],
+            {
+                "n_docs": ("doc_id", "count"),
+                "sum_chars": ("n_chars", "sum"),
+                "max_chars": ("n_chars", "max"),
+            },
+            n_salts=8,
+        )
+
     def dedup_exact(spark, sf_dir):
         return exact_dedup(_docs(spark, sf_dir), "doc_id", ["text"]).select(
             "text", "representative_id", "dup_count"
@@ -415,6 +454,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_antijoin_unprocessed": j3_antijoin_unprocessed,
         "a1_stage_counters": a1_stage_counters,
         "a2_throughput": a2_throughput,
+        "a3_batch_count": a3_batch_count,
+        "a4_reject_tally": a4_reject_tally,
+        "p11_json_parse": p11_json_parse,
+        "skew_salted_host_stats": skew_salted_host_stats,
         "agg_pricing_summary": agg_pricing_summary,
         "join_top_customers_per_nation": join_top_customers_per_nation,
         "events_hourly_windows": events_hourly_windows,
@@ -617,6 +660,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(*) / greatest(epoch(max(ts)) - epoch(min(ts)), 1)::DOUBLE AS rows_per_s
             FROM events GROUP BY event_type
+        """,
+        "a3_batch_count": """
+            SELECT event_type, ceil(count(*) / 100.0)::BIGINT AS total_batches
+            FROM events GROUP BY event_type
+        """,
+        "a4_reject_tally": """
+            SELECT CASE WHEN length(text) < 100 THEN 'too_short'
+                        WHEN contains(lower(text), 'slow') THEN 'excluded_pattern'
+                        ELSE 'kept' END AS reject_reason,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "p11_json_parse": """
+            SELECT event_id, CAST(props->>'k' AS INTEGER) AS k_value
+            FROM events WHERE props->>'k' IS NOT NULL
+        """,
+        "skew_salted_host_stats": """
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY source
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

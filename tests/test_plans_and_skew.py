@@ -1,0 +1,82 @@
+"""Plan-shape assertions (the scale guarantees) + skew helper correctness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biocurator_mapper_spark.plans import (
+    broadcast_exchanges,
+    plan_summary,
+    pushed_filters,
+)
+from biocurator_mapper_spark.plans.inspect import shuffles_touching
+from biocurator_mapper_spark.operators.skew import salted_agg, salted_join
+from biocurator_mapper_spark.pipeline import build_triples
+from biocurator_mapper_spark.testdata import pages_dataframe
+
+
+def test_triples_plan_single_corpus_shuffle(spark, terms):
+    pages = pages_dataframe(spark, ["hemangiosarcoma"], n_pages=10, seed=1)
+    triples = build_triples(pages, terms)
+    # exactly one shuffle partitions on the corpus key (url); every other
+    # exchange is ontology-sized side-input prep
+    url_shuffles = shuffles_touching(triples, "url")
+    assert len(url_shuffles) == 1, url_shuffles
+    # ontology sides join via broadcast
+    assert len(broadcast_exchanges(triples)) >= 2
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .where(F.col("l_shipdate") <= F.lit("1995-01-01").cast("timestamp"))
+        .select("l_returnflag", "l_quantity")
+    )
+    pf = pushed_filters(df)
+    assert pf and any("l_shipdate" in f for f in pf)
+    s = plan_summary(df)
+    assert s["n_scans"] == 1 and s["has_pushed_filters"]
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    df = spark.createDataFrame(
+        [(f"h{i % 3}", i, float(i)) for i in range(100)],
+        "host string, n long, v double",
+    )
+    got = {
+        r.host: (r.n_rows, r.sum_n, r.max_n)
+        for r in salted_agg(
+            df,
+            ["host"],
+            {"n_rows": ("n", "count"), "sum_n": ("n", "sum"), "max_n": ("n", "max")},
+            n_salts=4,
+        ).collect()
+    }
+    want = {
+        r.host: (r.n_rows, r.sum_n, r.max_n)
+        for r in df.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n").alias("sum_n"),
+            F.max("n").alias("max_n"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [(f"k{i % 5}", i) for i in range(200)], "key string, payload long"
+    )
+    small = spark.createDataFrame(
+        [(f"k{i}", f"dim{i}") for i in range(5)], "key string, dim string"
+    )
+    got = sorted(
+        (r.key, r.payload, r.dim)
+        for r in salted_join(big, small, "key", n_salts=4).collect()
+    )
+    want = sorted(
+        (r.key, r.payload, r.dim) for r in big.join(small, "key").collect()
+    )
+    assert got == want
