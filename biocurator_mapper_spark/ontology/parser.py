@@ -220,6 +220,53 @@ def _quality_predicate(
     return pred
 
 
+def searchable_text_config(
+    name: Column | None = None,
+    definition: Column | None = None,
+    synonym_arrays: list[Column] | None = None,
+    include_name: bool = True,
+    include_definition: bool = True,
+    include_synonyms: bool = True,
+    lowercase: bool = False,
+    remove_punctuation: bool = False,
+    separator: str = " | ",
+) -> Column:
+    """Config-driven searchable text (P8, reference
+    ``app/ontology_manager.py:109-144`` + embeddings_config.yaml:17-21,52-56):
+    field toggles, optional lowercase, optional punctuation strip,
+    configurable separator; blank components dropped (filter(None, ...)).
+    """
+    import string
+
+    def prep(c: Column) -> Column:
+        # transforms apply PER COMPONENT before joining, like the reference's
+        # list comprehension — so the separator itself is never stripped
+        if lowercase:
+            c = F.lower(c)
+        if remove_punctuation:
+            c = F.translate(c, string.punctuation, "")
+        return c
+
+    out: list[Column] = []
+    if include_name and name is not None:
+        out.append(F.nullif(prep(name), F.lit("")))
+    if include_definition and definition is not None:
+        out.append(F.nullif(prep(definition), F.lit("")))
+    if include_synonyms and synonym_arrays:
+        for arr in synonym_arrays:
+            joined = F.array_join(
+                F.filter(
+                    F.transform(
+                        F.coalesce(arr, F.array().cast("array<string>")), prep
+                    ),
+                    lambda s: s.isNotNull() & (s != ""),
+                ),
+                separator,
+            )
+            out.append(F.nullif(joined, F.lit("")))
+    return F.concat_ws(separator, *out)
+
+
 def embed_text(
     max_length: int = 8000,
     separator: str = " | ",

@@ -105,6 +105,17 @@ class RetryingEmbedder:
                 self.retry_count += 1
 
 
+def preflight_check(provider: str = EMBED_MODEL_STUB) -> bool:
+    """M7 health check: a 1-text probe on the driver before submitting
+    stages (reference openai_client.py:97-118) — catches bad credentials /
+    dead endpoints without burning cluster time."""
+    try:
+        out = EMBED_PROVIDERS[provider](["health check"])
+        return bool(out) and len(out[0]) > 0
+    except Exception:
+        return False
+
+
 EMBED_RESULT_SCHEMA_FIELDS = [
     StructField("embedding", ArrayType(FloatType())),
     StructField("token_count", IntegerType()),

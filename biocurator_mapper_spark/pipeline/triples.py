@@ -42,6 +42,7 @@ def build_triples(
     k: int = DEFAULT_K,
     pred_suffix: str = "mapped_to",
     n_buckets: int = TRIPLE_BUCKETS,
+    term_vecs: DataFrame | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) × terms → triples DataFrame.
 
@@ -95,10 +96,15 @@ def build_triples(
         )
     )
 
-    # scoring: term vectors broadcast; cosine in codegen (M1/J5)
-    term_vecs = with_hash_embedding(
-        terms.select("term_id", "searchable_text"), "searchable_text", "term_embedding"
-    ).select("term_id", "term_embedding")
+    # scoring: term vectors broadcast; cosine in codegen (M1/J5). A caller
+    # can pass cache-backed vectors (pipeline.model_client.embed_with_cache)
+    # — same (term_id, term_embedding) shape, zero plan change.
+    if term_vecs is None:
+        term_vecs = with_hash_embedding(
+            terms.select("term_id", "searchable_text"),
+            "searchable_text",
+            "term_embedding",
+        ).select("term_id", "term_embedding")
     scored = (
         cand.join(F.broadcast(term_vecs), "term_id")
         .withColumn(
@@ -309,8 +315,21 @@ class TriplesPipeline:
 
         n_in = todo.count()
         if n_in > 0:
+            # term vectors go through the cross-run embedding cache (M2):
+            # a re-run with an unchanged ontology embeds nothing
+            from .model_client import embed_with_cache
+
+            term_vecs = embed_with_cache(
+                terms.select("term_id", "searchable_text"),
+                "searchable_text",
+                self.catalog,
+            ).select("term_id", F.col("embedding").alias("term_embedding"))
             triples = build_triples(
-                todo.drop("part_bucket"), terms, k=k, n_buckets=self.n_buckets
+                todo.drop("part_bucket"),
+                terms,
+                k=k,
+                n_buckets=self.n_buckets,
+                term_vecs=term_vecs,
             )
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             triples.write.mode("overwrite").partitionBy("part_bucket").parquet(

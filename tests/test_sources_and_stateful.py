@@ -1,0 +1,120 @@
+"""Download source, history pruning, P8 config text, stateful stream op."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from biocurator_mapper_spark.ontology.parser import searchable_text_config
+from biocurator_mapper_spark.sources.catalog import ParquetCatalog
+from biocurator_mapper_spark.sources.download import (
+    DownloadCancelled,
+    download_history,
+    download_with_progress,
+    latest_download,
+    record_download,
+)
+
+
+def test_download_with_progress_and_cancel(tmp_path):
+    src = tmp_path / "onto.json"
+    payload = json.dumps({"graphs": [{"nodes": []}]}) * 2000  # ~40 KB, >1 chunk
+    src.write_text(payload)
+    dest = tmp_path / "landed" / "onto.json"
+    seen = []
+    n = download_with_progress(
+        src.as_uri(), str(dest), progress=lambda d, t: seen.append(d)
+    )
+    assert n == len(payload.encode())
+    assert dest.read_text() == payload
+    assert len(seen) >= 2 and seen[-1] == n  # chunked progress
+
+    # cancellation removes the partial file
+    dest2 = tmp_path / "landed" / "onto2.json"
+    with pytest.raises(DownloadCancelled):
+        download_with_progress(src.as_uri(), str(dest2), should_cancel=lambda: True)
+    assert not dest2.exists() and not pathlib.Path(str(dest2) + ".part").exists()
+
+
+def test_download_history_keep_last_and_latest(spark, tmp_path):
+    catalog = ParquetCatalog(spark, str(tmp_path / "wh"))
+    real = tmp_path / "real.json"
+    real.write_text("{}")
+    for i in range(13):
+        record_download(catalog, "go", f"/nonexistent/f{i}.json", 100 + i)
+    record_download(catalog, "go", str(real), 999)
+    record_download(catalog, "doid", str(real), 5)
+
+    hist = download_history(catalog)
+    assert hist.where(F.col("ontology") == "go").count() == 10  # pruned to last 10
+    assert hist.where(F.col("ontology") == "doid").count() == 1
+    # latest existing file wins; nonexistent newer files are skipped
+    assert latest_download(catalog, "go") == str(real)
+    assert latest_download(catalog, "missing") is None
+
+
+def test_searchable_text_config(spark):
+    df = spark.createDataFrame(
+        [("Angio, Sarcoma!", "A bad-news tumor.", ["Hem|Angio", ""])],
+        "name string, definition string, syns array<string>",
+    )
+    out = df.select(
+        searchable_text_config(
+            F.col("name"), F.col("definition"), [F.col("syns")]
+        ).alias("plain"),
+        searchable_text_config(
+            F.col("name"),
+            F.col("definition"),
+            [F.col("syns")],
+            lowercase=True,
+            remove_punctuation=True,
+        ).alias("normalized"),
+        searchable_text_config(
+            F.col("name"), F.col("definition"), [F.col("syns")],
+            include_definition=False,
+        ).alias("no_def"),
+    ).collect()[0]
+    assert out.plain == "Angio, Sarcoma! | A bad-news tumor. | Hem|Angio"
+    # punctuation stripped per component; separators survive
+    assert out.normalized == "angio sarcoma | a badnews tumor | hemangio"
+    assert out.no_def == "Angio, Sarcoma! | Hem|Angio"
+
+
+def test_stateful_host_stats_stream(spark, tmp_path):
+    from biocurator_mapper_spark.streaming.stateful import host_stats_stream
+    from biocurator_mapper_spark.testdata import PAGES_SCHEMA, generate_pages_rows
+
+    landing = tmp_path / "in"
+    landing.mkdir()
+    rows = generate_pages_rows(["x"], n_pages=30, seed=4, include_edge_rows=False)
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(str(landing / "b0"))
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA).parquet(str(landing) + "/*")
+    )
+    out_dir = tmp_path / "out"
+    q = (
+        host_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName("host_stats_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.host: (r.n_pages, r.n_bytes)
+        for r in spark.sql("select * from host_stats_t").collect()
+    }
+    # oracle: batch aggregation over the same rows
+    want = {
+        r.host: (r.n, r.b)
+        for r in spark.createDataFrame(rows, PAGES_SCHEMA)
+        .groupBy(F.parse_url("url", F.lit("HOST")).alias("host"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("html")).alias("b"))
+        .collect()
+    }
+    assert got == want
