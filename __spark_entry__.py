@@ -156,6 +156,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("searchable_text"),
         )
 
+    def p8_searchable_config(spark, sf_dir):
+        from biocurator_mapper_spark.ontology.parser import searchable_text_config
+
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        return part.select(
+            F.col("p_partkey").alias("part_key"),
+            searchable_text_config(
+                F.col("p_name"),
+                F.col("p_type"),
+                [F.array(F.col("p_brand"))],
+                lowercase=True,
+                remove_punctuation=True,
+            ).alias("searchable_text"),
+        )
+
+    def emb_cosine_pairs_exact(spark, sf_dir):
+        # brute-force near-dup pairs among a bounded query slice (the
+        # LSH-bucketed scale variant is pinned against this in pytest)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        from biocurator_mapper_spark.functions.embed import cosine_expr
+
+        a = emb.where(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va")
+        )
+        b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+        return (
+            a.crossJoin(F.broadcast(b))
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
+            .where(F.col("cosine") >= 0.4)
+            .select("id_a", "id_b", "cosine")
+        )
+
     def p9_truncate_text(spark, sf_dir):
         return _docs(spark, sf_dir).select(
             "doc_id", truncate_with_ellipsis(F.col("text"), 100).alias("embed_text")
@@ -443,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p2_curie_normalize": p2_curie_normalize,
         "p7_searchable_text": p7_searchable_text,
+        "p8_searchable_config": p8_searchable_config,
+        "emb_cosine_pairs_exact": emb_cosine_pairs_exact,
         "p9_truncate_text": p9_truncate_text,
         "p13_content_hash": p13_content_hash,
         "f2_quality_filter": f2_quality_filter,
@@ -477,6 +512,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # -------------------------------------------------------------- oracle SQL
+
+import string as _string
+
+# punctuation for translate(): escape single quotes for SQL literals
+_PUNCT_SQL = _string.punctuation.replace("'", "''")
+_P8_SQL = f"""
+    SELECT p_partkey AS part_key,
+           concat_ws(' | ',
+             nullif(translate(lower(p_name), '{_PUNCT_SQL}', ''), ''),
+             nullif(translate(lower(p_type), '{_PUNCT_SQL}', ''), ''),
+             nullif(translate(lower(p_brand), '{_PUNCT_SQL}', ''), '')
+           ) AS searchable_text
+    FROM part
+"""
 
 
 def _shingle_cte(n: int = 3) -> str:
@@ -586,6 +635,21 @@ def oracle_sql() -> dict[str, str]:
                    concat_ws(' ', nullif(p_name, ''), nullif(p_brand, ''), nullif(p_type, ''))
                      AS searchable_text
             FROM part
+        """,
+        "p8_searchable_config": _P8_SQL,
+        "emb_cosine_pairs_exact": """
+            WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings WHERE vec_id < 100),
+            b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+            SELECT id_a, id_b,
+                   list_sum(list_transform(range(1, 65), i -> va[i]::DOUBLE * vb[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(range(1, 65), i -> va[i]::DOUBLE * va[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, 65), i -> vb[i]::DOUBLE * vb[i]::DOUBLE))))
+                     AS cosine
+            FROM a, b
+            WHERE id_a < id_b
+              AND list_sum(list_transform(range(1, 65), i -> va[i]::DOUBLE * vb[i]::DOUBLE))
+                    / (sqrt(list_sum(list_transform(range(1, 65), i -> va[i]::DOUBLE * va[i]::DOUBLE)))
+                       * sqrt(list_sum(list_transform(range(1, 65), i -> vb[i]::DOUBLE * vb[i]::DOUBLE)))) >= 0.4
         """,
         "p9_truncate_text": """
             SELECT doc_id,

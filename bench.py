@@ -49,8 +49,14 @@ def main() -> int:
     names = [n for n in args.queries.split(",") if n]
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
-    # warm the JVM/Arrow paths once with a trivial job
-    spark.range(1000).count()
+    # warm the JVM and the Python-worker pool once: worker spawn (one
+    # process per core) + Arrow serializer import dominate the first
+    # pandas-UDF stage (~6x steady state, see BENCH.md §3) and are
+    # amortized-to-zero costs on a long-running cluster
+    from pyspark.sql.functions import col, pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+    spark.range(100000).select(_warm(col("id"))).count()
     for name in names:
         fn = qs[name]
         t0 = time.monotonic()

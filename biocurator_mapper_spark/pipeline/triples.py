@@ -35,6 +35,72 @@ from ..sources.catalog import ParquetCatalog
 DEFAULT_K = 5  # reference app/config.py:10
 TRIPLE_BUCKETS = 256  # bucket(url) partition transform width
 
+# Ontology tables up to this many terms are prepared driver-side with ONE
+# collect (surface map, canonical mapping, term vectors) instead of ~a dozen
+# dimension-sized Spark stages — the same judgement call as broadcasting a
+# small join side. Full GO+DOID is ~60k terms; the threshold leaves 100x
+# headroom. Bigger ontologies take the distributed path.
+DRIVER_TERMS_MAX = 5_000_000
+
+
+_TERM_COLS = {
+    "term_id", "name", "exact_synonyms", "all_synonyms",
+    "cross_references", "searchable_text",
+}
+
+
+def _is_plain_terms(terms: DataFrame) -> bool:
+    return _TERM_COLS.issubset(set(terms.columns))
+
+
+def _driver_side_inputs(
+    spark, term_rows: list
+) -> tuple[list[str], "DataFrame", "DataFrame", "DataFrame"]:
+    """Surface list, surface map, term vectors and canonical mapping from
+    collected term rows — zero extra cluster jobs."""
+    from ..functions.embed import hash_embed_py
+    from ..operators.canonicalize import _driver_union_find
+
+    surface_map_rows: dict[tuple[str, str], bool] = {}
+    vec_rows = []
+    edges = []
+    for r in term_rows:
+        exact = {s.lower() for s in (r.exact_synonyms or [])}
+        exact.add((r.name or "").lower())
+        for s in [r.name, *(r.all_synonyms or [])]:
+            if s:
+                key = (s.lower(), r.term_id)
+                surface_map_rows[key] = surface_map_rows.get(key, False) or (
+                    s.lower() in exact
+                )
+        vec_rows.append((r.term_id, hash_embed_py(r.searchable_text)))
+        for x in r.cross_references or []:
+            if x:
+                edges.append((r.term_id, f"xref:{x}"))
+    comp = _driver_union_find(edges)
+    # re-key components by min REAL term id, map every term
+    term_ids = {r.term_id for r in term_rows}
+    by_comp: dict[str, str] = {}
+    for t in term_ids:
+        c = comp.get(t)
+        if c is not None:
+            by_comp[c] = min(by_comp.get(c, t), t)
+    canon_rows = [
+        (t, by_comp[comp[t]] if t in comp else t) for t in sorted(term_ids)
+    ]
+    surface_map = spark.createDataFrame(
+        [(s, t, e) for (s, t), e in sorted(surface_map_rows.items())],
+        "surface string, term_id string, is_exact boolean",
+    )
+    term_vecs = spark.createDataFrame(
+        vec_rows, "term_id string, term_embedding array<float>"
+    )
+    canon = spark.createDataFrame(
+        canon_rows, "term_id string, canonical_id string"
+    )
+    surfaces = sorted({s for s, _ in surface_map_rows})
+    return surfaces, surface_map, term_vecs, canon
+
 
 def build_triples(
     pages: DataFrame,
@@ -64,7 +130,30 @@ def build_triples(
       are all array expressions inside the aggregate — replacing the
       window + three self-joins a naive formulation would shuffle for.
     """
-    terms = terms.cache()
+    spark = pages.sparkSession
+
+    # ontology side: ONE collect when dimension-sized (the common case),
+    # else the distributed operators
+    term_rows = terms.select(
+        "term_id", "name", "exact_synonyms", "all_synonyms",
+        "cross_references", "searchable_text",
+    ).limit(DRIVER_TERMS_MAX + 1).collect() if _is_plain_terms(terms) else None
+    if term_rows is not None and len(term_rows) <= DRIVER_TERMS_MAX:
+        surfaces, surface_map, default_term_vecs, canon = _driver_side_inputs(
+            spark, term_rows
+        )
+    else:
+        terms = terms.cache()
+        surface_map = build_surface_map(terms)
+        surfaces = [
+            r.surface for r in surface_map.select("surface").distinct().collect()
+        ]
+        default_term_vecs = with_hash_embedding(
+            terms.select("term_id", "searchable_text"),
+            "searchable_text",
+            "term_embedding",
+        ).select("term_id", "term_embedding")
+        canon = canonical_mapping(terms)
 
     # --- stage A: one narrow pass over the corpus -------------------------
     has_text = "text" in pages.columns
@@ -76,8 +165,6 @@ def build_triples(
             F.lit(""),
         ),
     )
-    surface_map = build_surface_map(terms)
-    surfaces = [r.surface for r in surface_map.select("surface").distinct().collect()]
     enriched = with_hash_embedding(
         with_mentions(extracted, surfaces, text_col="passage"),
         "passage",
@@ -100,11 +187,7 @@ def build_triples(
     # can pass cache-backed vectors (pipeline.model_client.embed_with_cache)
     # — same (term_id, term_embedding) shape, zero plan change.
     if term_vecs is None:
-        term_vecs = with_hash_embedding(
-            terms.select("term_id", "searchable_text"),
-            "searchable_text",
-            "term_embedding",
-        ).select("term_id", "term_embedding")
+        term_vecs = default_term_vecs
     scored = (
         cand.join(F.broadcast(term_vecs), "term_id")
         .withColumn(
@@ -233,7 +316,6 @@ def build_triples(
     )
 
     # 6. CANONICALIZE (J7): collapse alias CURIEs (broadcast mapping).
-    canon = canonical_mapping(terms)
     best = (
         best.join(F.broadcast(canon), "term_id", "left")
         .withColumn("obj", F.coalesce(F.col("canonical_id"), F.col("term_id")))
