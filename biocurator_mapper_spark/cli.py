@@ -1,0 +1,173 @@
+"""CLI — the reference's API surface as commands.
+
+Maps the reference's endpoints (SURVEY §3) one-to-one so a user of the
+service can run the same operations against the Spark engine:
+
+    POST /resolve_biocurated_data  → resolve   (passage → best match JSON)
+    POST /admin/update_ontology    → ingest    (download + parse + version gate)
+    POST /admin/generate_embeddings→ embed     (terms → cached vectors table)
+    GET  /admin/*status*           → status    (_metrics/_checkpoints/_versions)
+    batch triple factory           → triples   (pages parquet → triples table)
+
+Usage: python -m biocurator_mapper_spark.cli <cmd> [args] — see --help.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from .session import get_spark
+
+    return get_spark(app_name="bcms-cli")
+
+
+def cmd_resolve(args) -> int:
+    from .pipeline.resolve import Resolver
+    from .sources.catalog import ParquetCatalog
+
+    spark = _spark()
+    catalog = ParquetCatalog(spark, args.warehouse)
+    terms = catalog.read(f"ontology_terms_{args.ontology}")
+    resolver = Resolver(terms, k=args.k)
+    print(json.dumps(resolver.resolve(args.passage), indent=2))
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from .ontology import nodes_from_obo_graph, parse_terms
+    from .ontology.version import OntologyVersionGate
+    from .sources.catalog import ParquetCatalog
+    from .sources.download import download_with_progress, record_download
+    from .sources.obo_json import read_obo_graph
+
+    spark = _spark()
+    catalog = ParquetCatalog(spark, args.warehouse)
+    path = args.source
+    if "://" in args.source and not args.source.startswith("file://"):
+        path = f"{args.warehouse}/source_ontologies/{args.ontology}.json"
+        n = download_with_progress(args.source, path)
+        record_download(catalog, args.ontology, path, n)
+    obo = read_obo_graph(spark, path)
+    gate = OntologyVersionGate(catalog, args.ontology)
+    terms, rebuilt = gate.ensure(obo, lambda df: parse_terms(nodes_from_obo_graph(df)))
+    print(
+        json.dumps(
+            {"ontology": args.ontology, "rebuilt": rebuilt, "n_terms": terms.count()}
+        )
+    )
+    return 0
+
+
+def cmd_embed(args) -> int:
+    from .ontology.parser import embed_text, quality_filter
+    from .pipeline.model_client import embed_with_cache, preflight_check
+    from .sources.catalog import ParquetCatalog
+    from pyspark.sql import functions as F
+
+    if not preflight_check():
+        print(json.dumps({"error": "embedding provider failed preflight"}))
+        return 1
+    spark = _spark()
+    catalog = ParquetCatalog(spark, args.warehouse)
+    terms = catalog.read(f"ontology_terms_{args.ontology}")
+    kept = quality_filter(terms) if args.apply_filters else terms
+    with_text = kept.withColumn("embed_text", embed_text())
+    embedded = embed_with_cache(with_text, "embed_text", catalog)
+    catalog.write_replace(
+        embedded.select("term_id", "embed_text", "embedding"),
+        f"ontology_embeddings_{args.ontology}",
+    )
+    print(
+        json.dumps(
+            {
+                "ontology": args.ontology,
+                "embedded": embedded.count(),
+                "filtered_out": terms.count() - kept.count(),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_triples(args) -> int:
+    from .pipeline.triples import TriplesPipeline
+    from .sources.catalog import ParquetCatalog
+
+    spark = _spark()
+    catalog = ParquetCatalog(spark, args.warehouse)
+    pages = spark.read.parquet(args.pages)
+    terms = catalog.read(f"ontology_terms_{args.ontology}")
+    pipe = TriplesPipeline(catalog, n_buckets=args.buckets)
+    out = pipe.run(pages, terms, run_fingerprint=args.fingerprint)
+    print(json.dumps({"triples": out.count()}))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from .sources.catalog import ParquetCatalog
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    catalog = ParquetCatalog(spark, args.warehouse)
+    out = {}
+    m = catalog.read_log("_metrics")
+    if m is not None:
+        out["metrics"] = [r.asDict() for r in m.orderBy(F.desc("ts")).limit(10).collect()]
+    c = catalog.read_log("_checkpoints")
+    if c is not None:
+        out["checkpoints"] = (
+            c.groupBy("fingerprint", "stage")
+            .count()
+            .orderBy("fingerprint")
+            .limit(20)
+            .toPandas()
+            .to_dict("records")
+        )
+    v = catalog.read_log("_ontology_versions")
+    if v is not None:
+        out["ontology_versions"] = [r.asDict() for r in v.collect()]
+    print(json.dumps(out, default=str, indent=2))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="bcms")
+    ap.add_argument("--warehouse", default="./warehouse")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("resolve", help="passage → best ontology match")
+    r.add_argument("passage")
+    r.add_argument("--ontology", default="doid")
+    r.add_argument("-k", type=int, default=5)
+    r.set_defaults(fn=cmd_resolve)
+
+    i = sub.add_parser("ingest", help="OBO JSON (path or URL) → terms table")
+    i.add_argument("source")
+    i.add_argument("--ontology", default="doid")
+    i.set_defaults(fn=cmd_ingest)
+
+    e = sub.add_parser("embed", help="terms → cached embedding table")
+    e.add_argument("--ontology", default="doid")
+    e.add_argument("--apply-filters", action="store_true", default=True)
+    e.set_defaults(fn=cmd_embed)
+
+    t = sub.add_parser("triples", help="pages parquet → triples table")
+    t.add_argument("pages")
+    t.add_argument("--ontology", default="doid")
+    t.add_argument("--fingerprint", default="manual")
+    t.add_argument("--buckets", type=int, default=16)
+    t.set_defaults(fn=cmd_triples)
+
+    s = sub.add_parser("status", help="metrics / checkpoints / versions")
+    s.set_defaults(fn=cmd_status)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

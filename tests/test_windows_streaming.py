@@ -14,8 +14,15 @@ def test_windowed_stats_stream_matches_batch(spark, tmp_path):
     rows = generate_pages_rows(["x"], n_pages=60, seed=11, include_edge_rows=False)
     # two files processed as two micro-batches (maxFilesPerTrigger=1) so the
     # watermark advances after the first and closes windows during the second
-    spark.createDataFrame(rows[:55], PAGES_SCHEMA).write.parquet(str(landing / "b0"))
-    spark.createDataFrame(rows[55:], PAGES_SCHEMA).write.parquet(str(landing / "b1"))
+    # ONE part file per batch dir: every part file is its own micro-batch
+    # under maxFilesPerTrigger=1, and same-mtime part files order
+    # arbitrarily — multiple parts per dir would make in-dir rows late
+    spark.createDataFrame(rows[:55], PAGES_SCHEMA).coalesce(1).write.parquet(
+        str(landing / "b0")
+    )
+    spark.createDataFrame(rows[55:], PAGES_SCHEMA).coalesce(1).write.parquet(
+        str(landing / "b1")
+    )
     # FileStreamSource orders by modification time — pin it so b0 (earlier
     # event times) is processed first and nothing is late
     import os
