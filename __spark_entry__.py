@@ -257,6 +257,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "corpus_id", F.col("rank").cast("bigint").alias("rank"), "cosine"
         )
 
+    def j5b_broadcast_matmul_topk(spark, sf_dir):
+        # the scale-path top-k (broadcast numpy matmul in mapInPandas) must
+        # produce the identical relation as the SQL brute force
+        from biocurator_mapper_spark.operators.topk import (
+            broadcast_topk,
+            collect_corpus_matrix,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        ids, mat = collect_corpus_matrix(
+            emb.select(F.col("vec_id").cast("string").alias("term_id"), "embedding")
+        )
+        queries_df = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").cast("string").alias("url"), "embedding"
+        )
+        out = broadcast_topk(queries_df, ids, mat, k=5)
+        return out.select(
+            F.col("url").cast("bigint").alias("query_id"),
+            F.col("term_id").cast("bigint").alias("corpus_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+
     def j1_broadcast_enrich(spark, sf_dir):
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
         cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -428,6 +450,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return lsh_topk(q, c, dim=64, k=5, n_planes=6, n_tables=8)
 
+    def text_simhash(spark, sf_dir):
+        from biocurator_mapper_spark.operators.dedup import simhash_expr
+
+        return _docs(spark, sf_dir).select(
+            "doc_id", simhash_expr(F.col("text")).alias("simhash")
+        )
+
     def text_token_count(spark, sf_dir):
         return _docs(spark, sf_dir).select(
             "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
@@ -485,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_latest_record": w3_latest_record,
         "j6_mention_detect": j6_mention_detect,
         "j5_topk_similarity": j5_topk_similarity,
+        "j5b_broadcast_matmul_topk": j5b_broadcast_matmul_topk,
         "j1_broadcast_enrich": j1_broadcast_enrich,
         "j3_antijoin_unprocessed": j3_antijoin_unprocessed,
         "a1_stage_counters": a1_stage_counters,
@@ -502,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
+        "text_simhash": text_simhash,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -622,6 +653,34 @@ FROM ranked WHERE rn = 1
 """
 
 
+# 48-bit sign-sum SimHash in pure SQL: distinct tokens × 48 bit positions,
+# per-bit ±1 vote, reassembled with 1<<b weights — same construction as
+# operators/dedup.py::simhash_expr (token hash = first 12 md5 hex chars).
+_SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substring(md5(unnest(t)), 1, 12))::BIGINT AS h
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(range(48)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sh AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT k.doc_id, coalesce(sh.simhash, 0) AS simhash
+FROM (SELECT doc_id FROM documents) k LEFT JOIN sh ON k.doc_id = sh.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "p2_curie_normalize": """
@@ -704,6 +763,23 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, corpus_id, rank, cosine FROM ranked WHERE rank <= 5
+        """,
+        "j5b_broadcast_matmul_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS corpus_id, embedding AS ce FROM embeddings),
+            scored AS (
+              SELECT q.query_id, c.corpus_id,
+                     list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * ce[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+                          * sqrt(list_sum(list_transform(range(1, 65), i -> ce[i]::DOUBLE * ce[i]::DOUBLE))))
+                       AS cosine
+              FROM q, c
+            )
+            SELECT query_id, corpus_id, rank FROM (
+              SELECT query_id, corpus_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "j1_broadcast_enrich": """
             SELECT o.o_orderkey AS order_key, c.c_name AS customer_name, n.n_name AS nation_name
@@ -800,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE i.n_inter / (za.sz + zb.sz - i.n_inter)::DOUBLE >= 0.5
         """,
         "dedup_minhash_lsh": _minhash_sql(16, 4, 0.5),
+        "text_simhash": _SIMHASH_SQL,
         "text_token_count": """
             SELECT doc_id,
                    len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))
