@@ -432,6 +432,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=0.5,
         )
 
+    def dedup_clusters(spark, sf_dir):
+        from biocurator_mapper_spark.operators.dedup import dedup_clusters as _dc
+
+        return _dc(_docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5)
+
+    def text_ngram_freq(spark, sf_dir):
+        from biocurator_mapper_spark.operators.dedup import ngram_frequencies
+
+        return ngram_frequencies(_docs(spark, sf_dir), "text", n=2, top=100)
+
     def dedup_simhash(spark, sf_dir):
         # rows-only check: the 48-bit sketch itself is oracle-checkable only
         # with heavy SQL; near-dup pairs are verified in pytest instead
@@ -530,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": dedup_fingerprint,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_clusters": dedup_clusters,
+        "text_ngram_freq": text_ngram_freq,
         "dedup_simhash": dedup_simhash,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
         "text_simhash": text_simhash,
@@ -876,6 +888,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE i.n_inter / (za.sz + zb.sz - i.n_inter)::DOUBLE >= 0.5
         """,
         "dedup_minhash_lsh": _minhash_sql(16, 4, 0.5),
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_shingle_cte(3)},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT i.id_a, i.id_b FROM inter i
+              JOIN sizes za ON za.doc_id = i.id_a
+              JOIN sizes zb ON zb.doc_id = i.id_b
+              WHERE i.n_inter / (za.sz + zb.sz - i.n_inter)::DOUBLE >= 0.5
+            ),
+            bi AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+            reach(node, m) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT bi.a, r.m FROM reach r JOIN bi ON bi.b = r.node
+            ),
+            rep AS (SELECT node AS doc_id, min(m) AS representative_id FROM reach GROUP BY node)
+            SELECT d.doc_id, rep.representative_id,
+                   d.doc_id <> rep.representative_id AS is_duplicate
+            FROM documents d JOIN rep ON rep.doc_id = d.doc_id
+        """,
+        "text_ngram_freq": f"""
+            WITH {_shingle_cte(2)}
+            SELECT shingle AS ngram, count(*) AS doc_freq
+            FROM s GROUP BY shingle
+            ORDER BY doc_freq DESC, ngram ASC
+            LIMIT 100
+        """,
         "text_simhash": _SIMHASH_SQL,
         "text_token_count": """
             SELECT doc_id,

@@ -218,6 +218,60 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Duplicate-cluster assignment: near-dup pairs (n-gram Jaccard ≥
+    threshold) → connected components → every doc mapped to its cluster
+    representative (min id). The standard dedup-keep-one step of a
+    training-data pipeline: filter ``is_duplicate`` to drop non-representatives.
+    """
+    from .canonicalize import connected_components
+
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    # CC compares node ids as strings — zero-pad numeric ids so string order
+    # equals numeric order ("100" < "2" otherwise)
+    pad = lambda c: F.format_string("%020d", c)  # noqa: E731
+    cc = connected_components(
+        pairs.select(pad(F.col("id_a")).alias("src"), pad(F.col("id_b")).alias("dst"))
+    )
+    id_type = df.schema[id_col].dataType
+    mapped = cc.select(
+        F.col("node").cast(id_type).alias(id_col),
+        F.col("component").cast(id_type).alias("representative_id"),
+    )
+    return (
+        df.select(id_col)
+        .join(mapped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("representative_id"), F.col(id_col)).alias(
+                "representative_id"
+            ),
+        )
+        .withColumn("is_duplicate", F.col(id_col) != F.col("representative_id"))
+    )
+
+
+def ngram_frequencies(
+    df: DataFrame, text_col: str, n: int = 2, top: int = 100
+) -> DataFrame:
+    """Corpus-level top-N n-gram document frequencies (distinct per doc) —
+    the vocabulary/stop-shingle profiling step of a data pipeline. One
+    explode + one hash aggregate + a bounded ordered limit."""
+    sh = df.select(F.explode(shingles_expr(F.col(text_col), n)).alias("ngram"))
+    return (
+        sh.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(top)
+    )
+
+
 # ------------------------------------------------------------------ SimHash
 
 SIMHASH_BITS = 48
