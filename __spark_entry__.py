@@ -911,7 +911,7 @@ def oracle_sql() -> dict[str, str]:
             rep AS (SELECT node AS doc_id, min(m) AS representative_id FROM reach GROUP BY node)
             SELECT d.doc_id, rep.representative_id,
                    d.doc_id <> rep.representative_id AS is_duplicate
-            FROM documents d JOIN rep ON rep.doc_id = d.doc_id
+            FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id
         """,
         "text_ngram_freq": f"""
             WITH {_shingle_cte(2)}

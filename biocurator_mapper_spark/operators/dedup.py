@@ -13,7 +13,8 @@ Five families, each designed scale-first:
 - SimHash: 48-bit sign-sum sketch, built entirely with higher-order
   functions (JVM codegen, no Python).
 
-All functions are pure plan builders (no actions).
+All functions are pure plan builders (no actions), except dedup_clusters
+(connected components is iterative and must run jobs).
 """
 
 from __future__ import annotations
@@ -224,22 +225,36 @@ def dedup_clusters(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Duplicate-cluster assignment: near-dup pairs (n-gram Jaccard ≥
     threshold) → connected components → every doc mapped to its cluster
     representative (min id). The standard dedup-keep-one step of a
     training-data pipeline: filter ``is_duplicate`` to drop non-representatives.
+
+    NOT a pure plan builder: connected components is iterative, so calling
+    this runs jobs. Integer ids must be non-negative (representatives are
+    chosen by order-preserving zero-padding; negative values would compare
+    wrongly). ``max_shingle_df`` forwards the hub-shingle cap — set it on
+    corpora with common shingles to bound the O(df²) candidate join.
     """
+    from pyspark.sql.types import IntegralType
+
     from .canonicalize import connected_components
 
-    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    # CC compares node ids as strings — zero-pad numeric ids so string order
-    # equals numeric order ("100" < "2" otherwise)
-    pad = lambda c: F.format_string("%020d", c)  # noqa: E731
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold, max_shingle_df=max_shingle_df
+    ).cache()  # CC consumes the pairs 2-3× (count + collect/iterations)
+    id_type = df.schema[id_col].dataType
+    if isinstance(id_type, IntegralType):
+        # CC compares node ids as strings — zero-pad non-negative integers
+        # so string order equals numeric order ("100" < "2" otherwise)
+        pad = lambda c: F.format_string("%020d", c)  # noqa: E731
+    else:
+        pad = lambda c: c.cast("string")  # noqa: E731
     cc = connected_components(
         pairs.select(pad(F.col("id_a")).alias("src"), pad(F.col("id_b")).alias("dst"))
     )
-    id_type = df.schema[id_col].dataType
     mapped = cc.select(
         F.col("node").cast(id_type).alias(id_col),
         F.col("component").cast(id_type).alias("representative_id"),
