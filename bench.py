@@ -43,6 +43,13 @@ def main() -> int:
         app_name="bcms-bench",
         master=f"local[{args.cpus}]",
         shuffle_partitions=max(int(args.cpus), 8),
+        extra={
+            # benchmark files are a few MB — split them like real inputs so
+            # scans parallelize (at 100 TB the default 256 MB split does
+            # this automatically; a single tiny file otherwise pins every
+            # narrow stage to ONE task)
+            "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
+        },
     )
     sf_dir = args.sf_dir
     qs = entrymod.queries()

@@ -30,16 +30,24 @@ def tokens_expr(text: Column) -> Column:
 
 
 def shingles_expr(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the text (space-joined)."""
+    """Distinct word n-gram shingles of the text (space-joined).
+
+    Built by zipping n shifted views of the token array (one concat per
+    shingle) rather than a per-index ``slice`` + ``array_join`` — the
+    higher-order-function path is interpreted, so allocation count per
+    shingle dominates; the zip formulation measures ~2× faster.
+    """
     toks = tokens_expr(text)
+    m = F.size(toks) - F.lit(n - 1)  # number of shingles
+    sh = F.slice(toks, 1, m)
+    for off in range(1, n):
+        sh = F.zip_with(
+            sh,
+            F.slice(toks, off + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(
+        F.when(F.size(toks) >= n, sh).otherwise(
             # short docs: one shingle = whole token string, so they can
             # still pair with identical short docs
             F.when(F.size(toks) > 0, F.array(F.array_join(toks, " "))).otherwise(
@@ -171,6 +179,15 @@ def minhash_lsh_pairs(
         shingles_expr(F.col(text_col), n).alias("_sh"),
     ).where(F.size("_sh") > 0)
     exploded = base.select("_id", F.explode("_sh").alias("shingle"))
+    # the 16 md5s/shingle run in the partial-agg stage, which inherits the
+    # INPUT's split count — an under-partitioned source (tiny file, single
+    # kafka partition) would serialize all hashing; one cheap round-robin
+    # shuffle of the raw shingle rows buys full parallelism. Properly split
+    # inputs (the 100 TB case) skip this.
+    spark = df.sparkSession
+    default_p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(default_p // 2, 1):
+        exploded = exploded.repartition(default_p)
     sigs = exploded.groupBy("_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
