@@ -136,6 +136,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from biocurator_mapper_spark.operators.topk import brute_force_topk_join
     from biocurator_mapper_spark.pipeline import build_triples
 
+    def p1_parse_terms(spark, sf_dir):
+        # the central parse stage (P1-P7, F1, U1-U3) on the full fixture
+        # corpus — the DuckDB oracle re-derives every field from the SAME
+        # inline OBO JSON with json functions, so the reference semantics
+        # (CURIE transform, typed synonyms, xref union order, namespace,
+        # filter(None) searchable text, malformed-node drops) are checked
+        # end-to-end against an independent implementation
+        from biocurator_mapper_spark.ontology import nodes_from_obo_graph, parse_terms
+        from biocurator_mapper_spark.sources.obo_json import obo_graph_from_dict
+        from biocurator_mapper_spark.testdata import full_fixture_graph
+
+        obo = obo_graph_from_dict(spark, full_fixture_graph(perf_n=5))
+        terms = parse_terms(nodes_from_obo_graph(obo))
+        return terms.select(
+            "term_id",
+            "name",
+            "definition",
+            "namespace",
+            F.array_join("all_synonyms", "|").alias("all_synonyms_joined"),
+            F.array_join("exact_synonyms", "|").alias("exact_synonyms_joined"),
+            F.array_join("cross_references", "|").alias("xrefs_joined"),
+            "searchable_text",
+        )
+
     def p2_curie_normalize(spark, sf_dir):
         part = spark.read.parquet(f"{sf_dir}/part.parquet")
         uri = F.concat(F.lit("http://purl.obolibrary.org/obo/PART_"), F.col("p_partkey"))
@@ -513,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     return {
+        "p1_parse_terms": p1_parse_terms,
         "p2_curie_normalize": p2_curie_normalize,
         "p7_searchable_text": p7_searchable_text,
         "p8_searchable_config": p8_searchable_config,
@@ -665,6 +690,77 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _p1_sql() -> str:
+    """DuckDB reimplementation of the parse stage over the same inline JSON."""
+    import json as _json
+
+    from biocurator_mapper_spark.testdata import full_fixture_graph
+
+    doc = _json.dumps(full_fixture_graph(perf_n=5)).replace("'", "''")
+    ns_pred = "http://www.geneontology.org/formats/oboInOwl#hasOBONamespace"
+
+    def syn_vals(pred_filter: str | None) -> str:
+        cond = f"AND json_extract_string(nd, '$.meta.synonyms[' || k || '].pred') = '{pred_filter}'" if pred_filter else ""
+        return f"""list_filter(
+            list_transform(range(coalesce(json_array_length(nd, '$.meta.synonyms'), 0)::BIGINT),
+              k -> CASE WHEN json_extract_string(nd, '$.meta.synonyms[' || k || '].val') IS NOT NULL
+                         AND json_extract_string(nd, '$.meta.synonyms[' || k || '].val') <> ''
+                         {cond.replace("AND json", "AND json")}
+                    THEN json_extract_string(nd, '$.meta.synonyms[' || k || '].val') END),
+            v -> v IS NOT NULL)"""
+
+    return f"""
+WITH raw AS (SELECT '{doc}' AS s),
+nodes AS (
+  SELECT json_extract(s, '$.graphs[0].nodes[' || i || ']') AS nd
+  FROM raw, (SELECT unnest(range(
+       (SELECT json_array_length(s, '$.graphs[0].nodes')::BIGINT FROM raw))) AS i)
+),
+valid AS (
+  SELECT nd FROM nodes
+  WHERE json_extract_string(nd, '$.id') IS NOT NULL
+    AND json_extract_string(nd, '$.lbl') IS NOT NULL
+),
+parsed AS (
+  SELECT
+    replace(regexp_extract(json_extract_string(nd, '$.id'), '([^/]+)$', 1), '_', ':') AS term_id,
+    json_extract_string(nd, '$.lbl') AS name,
+    coalesce(json_extract_string(nd, '$.meta.definition.val'), '') AS definition,
+    coalesce((list_filter(
+      list_transform(range(coalesce(json_array_length(nd, '$.meta.basicPropertyValues'), 0)::BIGINT),
+        k -> CASE WHEN json_extract_string(nd, '$.meta.basicPropertyValues[' || k || '].pred') = '{ns_pred}'
+              THEN coalesce(json_extract_string(nd, '$.meta.basicPropertyValues[' || k || '].val'), '') END),
+      v -> v IS NOT NULL))[1], '') AS namespace,
+    {syn_vals(None)} AS all_syn,
+    {syn_vals('hasExactSynonym')} AS exact_syn,
+    list_concat(list_concat(
+      -- definition xrefs: kept verbatim incl. empties (reference extend())
+      list_transform(range(coalesce(json_array_length(nd, '$.meta.definition.xrefs'), 0)::BIGINT),
+        k -> json_extract_string(nd, '$.meta.definition.xrefs[' || k || ']')),
+      -- meta xrefs: struct form, non-empty vals
+      list_filter(
+        list_transform(range(coalesce(json_array_length(nd, '$.meta.xrefs'), 0)::BIGINT),
+          k -> json_extract_string(nd, '$.meta.xrefs[' || k || '].val')),
+        v -> v IS NOT NULL AND v <> '')),
+      -- basicPropertyValues with hasDbXref in pred, non-empty vals
+      list_filter(
+        list_transform(range(coalesce(json_array_length(nd, '$.meta.basicPropertyValues'), 0)::BIGINT),
+          k -> CASE WHEN contains(coalesce(json_extract_string(nd, '$.meta.basicPropertyValues[' || k || '].pred'), ''), 'hasDbXref')
+                THEN json_extract_string(nd, '$.meta.basicPropertyValues[' || k || '].val') END),
+        v -> v IS NOT NULL AND v <> '')
+    ) AS xrefs
+  FROM valid
+)
+SELECT term_id, name, definition, namespace,
+       coalesce(array_to_string(all_syn, '|'), '') AS all_synonyms_joined,
+       coalesce(array_to_string(exact_syn, '|'), '') AS exact_synonyms_joined,
+       coalesce(array_to_string(xrefs, '|'), '') AS xrefs_joined,
+       concat_ws(' ', nullif(name, ''), nullif(definition, ''),
+                 nullif(array_to_string(all_syn, ' '), '')) AS searchable_text
+FROM parsed
+"""
+
+
 # 48-bit sign-sum SimHash in pure SQL: distinct tokens × 48 bit positions,
 # per-bit ±1 vote, reassembled with 1<<b weights — same construction as
 # operators/dedup.py::simhash_expr (token hash = first 12 md5 hex chars).
@@ -695,6 +791,7 @@ FROM (SELECT doc_id FROM documents) k LEFT JOIN sh ON k.doc_id = sh.doc_id
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "p1_parse_terms": _p1_sql(),
         "p2_curie_normalize": """
             SELECT p_partkey AS part_key,
                    replace(regexp_extract('http://purl.obolibrary.org/obo/PART_' || p_partkey,
