@@ -263,7 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf_dir).select(
             F.col("doc_id"), F.col("text").alias("extracted_text")
         )
-        out = mention_candidates(d, _dict_df(spark), id_col="doc_id")
+        out = mention_candidates(d, _dict_df(spark))
         return out.select("doc_id", "mention", "term_id")
 
     def j5_topk_similarity(spark, sf_dir):
@@ -531,7 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf_dir).select(
             F.col("doc_id"), F.col("text").alias("extracted_text")
         )
-        out = mention_candidates(d, _dict_df(spark), id_col="doc_id")
+        out = mention_candidates(d, _dict_df(spark))
         return out.groupBy("doc_id", "term_id").agg(
             F.count(F.lit(1)).alias("n_surfaces")
         )

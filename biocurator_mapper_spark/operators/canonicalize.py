@@ -108,22 +108,23 @@ def connected_components(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    if strategy == "driver" or (
-        strategy == "auto" and e.count() <= DRIVER_CC_MAX_EDGES
-    ):
-        pairs = [(r.src, r.dst) for r in e.collect()]
-        comp = _driver_union_find(pairs)
-        spark = edges.sparkSession
-        if not comp:
-            return spark.createDataFrame([], "node string, component string")
-        return spark.createDataFrame(
-            list(comp.items()), "node string, component string"
-        )
+    spark = edges.sparkSession
+    if strategy != "distributed":
+        if strategy == "driver":
+            pairs_rows = e.collect()
+        else:  # auto: one job both sizes and fetches
+            pairs_rows = e.limit(DRIVER_CC_MAX_EDGES + 1).collect()
+        if strategy == "driver" or len(pairs_rows) <= DRIVER_CC_MAX_EDGES:
+            comp = _driver_union_find([(r.src, r.dst) for r in pairs_rows])
+            if not comp:
+                return spark.createDataFrame([], "node string, component string")
+            return spark.createDataFrame(
+                list(comp.items()), "node string, component string"
+            )
     all_nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
     )
     prev_sig: tuple[int, int] | None = None
     for _ in range(max_iterations):

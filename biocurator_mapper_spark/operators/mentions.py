@@ -152,14 +152,17 @@ def mention_candidates(
     pages: DataFrame,
     surface_map: DataFrame,
     text_col: str = "extracted_text",
-    id_col: str = "url",
 ) -> DataFrame:
-    """pages → (url, mention, term_id) candidate rows.
+    """pages → pages-columns + (mention, term_id, …) candidate rows.
 
     Explodes the per-doc mention array and resolves surfaces to candidate
     term ids with a **broadcast** equi-join against the dictionary relation
     (ontology-sized → always broadcastable; the corpus never shuffles).
+    The automaton emits lowercased surfaces, so the dictionary side is
+    lowercased here too — a hand-built surface_map with uppercase entries
+    would otherwise silently lose every match.
     """
+    surface_map = surface_map.withColumn("surface", F.lower(F.col("surface")))
     surfaces = [r.surface for r in surface_map.select("surface").distinct().collect()]
     mentions = (
         with_mentions(pages, surfaces, text_col=text_col)

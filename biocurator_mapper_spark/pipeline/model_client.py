@@ -139,7 +139,11 @@ def embed_with_cache(
     (openai_client.py:276-284): tokens // len(texts) per text — whitespace
     token count in the stub.
     """
-    df = df.withColumn("_text_hash", F.sha2(F.col(text_col), 256))
+    # NULL text hashes like '' so the cache join key is never NULL (NULL
+    # keys never equi-join → the embedded row would silently drop)
+    df = df.withColumn(
+        "_text_hash", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    )
     cache = catalog.read_log(cache_table) if catalog is not None else None
 
     if cache is not None:

@@ -20,7 +20,6 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 from ..functions.embed import hash_embed_py
-from ..operators.topk import collect_corpus_matrix
 
 
 class Resolver:

@@ -21,6 +21,7 @@ Scale notes (the plan this compiles to):
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame
@@ -38,9 +39,10 @@ TRIPLE_BUCKETS = 256  # bucket(url) partition transform width
 # Ontology tables up to this many terms are prepared driver-side with ONE
 # collect (surface map, canonical mapping, term vectors) instead of ~a dozen
 # dimension-sized Spark stages — the same judgement call as broadcasting a
-# small join side. Full GO+DOID is ~60k terms; the threshold leaves 100x
-# headroom. Bigger ontologies take the distributed path.
-DRIVER_TERMS_MAX = 5_000_000
+# small join side. Full GO+DOID is ~60k terms (3x headroom); the cap also
+# bounds what the collect hauls through py4j and what hash_embed_py runs
+# single-threaded on the driver. Bigger ontologies take the distributed path.
+DRIVER_TERMS_MAX = 200_000
 
 
 _TERM_COLS = {
@@ -54,10 +56,11 @@ def _is_plain_terms(terms: DataFrame) -> bool:
 
 
 def _driver_side_inputs(
-    spark, term_rows: list
-) -> tuple[list[str], "DataFrame", "DataFrame", "DataFrame"]:
+    spark, term_rows: list, need_vecs: bool = True
+) -> tuple[list[str], "DataFrame", "DataFrame | None", "DataFrame"]:
     """Surface list, surface map, term vectors and canonical mapping from
-    collected term rows — zero extra cluster jobs."""
+    collected term rows — zero extra cluster jobs. ``need_vecs=False`` skips
+    per-term embedding (the caller supplies cache-backed vectors)."""
     from ..functions.embed import hash_embed_py
     from ..operators.canonicalize import _driver_union_find
 
@@ -73,7 +76,8 @@ def _driver_side_inputs(
                 surface_map_rows[key] = surface_map_rows.get(key, False) or (
                     s.lower() in exact
                 )
-        vec_rows.append((r.term_id, hash_embed_py(r.searchable_text)))
+        if need_vecs:
+            vec_rows.append((r.term_id, hash_embed_py(r.searchable_text)))
         for x in r.cross_references or []:
             if x:
                 edges.append((r.term_id, f"xref:{x}"))
@@ -92,8 +96,10 @@ def _driver_side_inputs(
         [(s, t, e) for (s, t), e in sorted(surface_map_rows.items())],
         "surface string, term_id string, is_exact boolean",
     )
-    term_vecs = spark.createDataFrame(
-        vec_rows, "term_id string, term_embedding array<float>"
+    term_vecs = (
+        spark.createDataFrame(vec_rows, "term_id string, term_embedding array<float>")
+        if need_vecs
+        else None
     )
     canon = spark.createDataFrame(
         canon_rows, "term_id string, canonical_id string"
@@ -140,7 +146,7 @@ def build_triples(
     ).limit(DRIVER_TERMS_MAX + 1).collect() if _is_plain_terms(terms) else None
     if term_rows is not None and len(term_rows) <= DRIVER_TERMS_MAX:
         surfaces, surface_map, default_term_vecs, canon = _driver_side_inputs(
-            spark, term_rows
+            spark, term_rows, need_vecs=term_vecs is None
         )
     else:
         terms = terms.cache()
@@ -148,11 +154,15 @@ def build_triples(
         surfaces = [
             r.surface for r in surface_map.select("surface").distinct().collect()
         ]
-        default_term_vecs = with_hash_embedding(
-            terms.select("term_id", "searchable_text"),
-            "searchable_text",
-            "term_embedding",
-        ).select("term_id", "term_embedding")
+        default_term_vecs = (
+            with_hash_embedding(
+                terms.select("term_id", "searchable_text"),
+                "searchable_text",
+                "term_embedding",
+            ).select("term_id", "term_embedding")
+            if term_vecs is None
+            else None
+        )
         canon = canonical_mapping(terms)
 
     # --- stage A: one narrow pass over the corpus -------------------------
@@ -395,7 +405,9 @@ class TriplesPipeline:
             ]
         todo = pages_b.where(~F.col("part_bucket").isin(done)) if done else pages_b
 
+        data_dir = os.path.join(self.catalog._table_dir("triples"), "data")
         n_in = todo.count()
+        triples_schema = None
         if n_in > 0:
             # term vectors go through the cross-run embedding cache (M2):
             # a re-run with an unchanged ontology embeds nothing
@@ -413,11 +425,23 @@ class TriplesPipeline:
                 n_buckets=self.n_buckets,
                 term_vecs=term_vecs,
             )
+            triples_schema = triples.schema
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             triples.write.mode("overwrite").partitionBy("part_bucket").parquet(
-                self.catalog._table_dir("triples")
+                data_dir
             )
-            n_out = spark.read.parquet(self.catalog._table_dir("triples")).count()
+            self._ensure_pointer()
+            # per-RUN output: only the buckets this run (re)wrote — an
+            # all-table count would blame prior runs' rows on this one
+            run_buckets = [
+                r.part_bucket
+                for r in todo.select("part_bucket").distinct().collect()
+            ]
+            n_out = (
+                self._read_triples(spark, triples_schema)
+                .where(F.col("part_bucket").isin(run_buckets))
+                .count()
+            )
         else:
             n_out = 0
 
@@ -450,4 +474,51 @@ class TriplesPipeline:
             ).withColumn("ts", F.current_timestamp()),
             "_metrics",
         )
-        return spark.read.parquet(self.catalog._table_dir("triples"))
+        return self._read_triples(spark, triples_schema)
+
+    def _data_dir(self) -> str:
+        return os.path.join(self.catalog._table_dir("triples"), "data")
+
+    def _ensure_pointer(self) -> None:
+        """Register the in-place bucket-overwrite directory with the
+        catalog pointer so catalog.read('triples') resolves. Isolation is
+        bucket-level here (dynamic overwrite replaces whole buckets
+        atomically at the file level); full snapshot isolation would need
+        the Iceberg backend."""
+        import json
+
+        tdir = self.catalog._table_dir("triples")
+        os.makedirs(tdir, exist_ok=True)
+        pointer = self.catalog._pointer_path("triples")
+        if not os.path.exists(pointer):
+            tmp = pointer + f".tmp.{uuid.uuid4().hex[:6]}"
+            with open(tmp, "w") as f:
+                json.dump({"version": "data"}, f)
+            os.replace(tmp, pointer)
+
+    def _read_triples(self, spark, schema=None) -> DataFrame:
+        """Read the triples table, tolerating the empty case (a partitioned
+        overwrite of 0 rows writes no parquet files → schema inference
+        fails; an explicit schema or an empty DataFrame covers it)."""
+        try:
+            return spark.read.parquet(self._data_dir())
+        except Exception:
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            # never-written table and no schema in hand: empty frame with
+            # the canonical triple schema from a zero-page plan
+            empty_pages = spark.createDataFrame(
+                [],
+                "url string, warc_ts timestamp, html binary, text string, lang string",
+            )
+            empty_terms = spark.createDataFrame(
+                [],
+                "term_id string, name string, definition string, "
+                "exact_synonyms array<string>, narrow_synonyms array<string>, "
+                "broad_synonyms array<string>, related_synonyms array<string>, "
+                "all_synonyms array<string>, cross_references array<string>, "
+                "namespace string, searchable_text string",
+            )
+            return spark.createDataFrame(
+                [], build_triples(empty_pages, empty_terms, n_buckets=self.n_buckets).schema
+            )
