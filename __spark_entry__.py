@@ -926,7 +926,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE props->>'k' IS NOT NULL
         """,
         "skew_salted_host_stats": """
-            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+            SELECT source, count(doc_id) AS n_docs, sum(n_chars) AS sum_chars,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY source
         """,

@@ -105,12 +105,15 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
     )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")).where(
             F.col("_df") > max_shingle_df
         )
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    # sizes AFTER the cap: Jaccard is then exact over the retained shingle
+    # sets (pre-cap sizes would deflate scores and let identical docs with
+    # many hub shingles escape the threshold)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = sh.withColumnRenamed("_id", "id_a")
     b = sh.withColumnRenamed("_id", "id_b")
     inter = (
@@ -271,7 +274,8 @@ def dedup_clusters(
         pad = lambda c: c.cast("string")  # noqa: E731
     cc = connected_components(
         pairs.select(pad(F.col("id_a")).alias("src"), pad(F.col("id_b")).alias("dst"))
-    )
+    ).localCheckpoint(eager=True)  # node-sized; lets the pairs cache go
+    pairs.unpersist()
     mapped = cc.select(
         F.col("node").cast(id_type).alias(id_col),
         F.col("component").cast(id_type).alias("representative_id"),
@@ -313,20 +317,23 @@ def simhash_expr(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """Sign-sum SimHash over token md5s, as one aggregate over the token
     array (whole-stage codegen; no UDF). Returns a bigint sketch."""
     toks = F.array_distinct(tokens_expr(text))
-    # token hash: first 12 hex chars of md5 → 48-bit bigint
+    # token hash: first 12 hex chars of md5 → 48-bit bigint, computed ONCE
+    # per token (HOF expressions get no CSE — instantiating the md5 inside
+    # the 48-element bit comprehension would hash every token 48x)
     th = lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long")  # noqa: E731
+    hashed = F.transform(toks, th)
     zero = F.array(*[F.lit(0) for _ in range(bits)])
     # bit positions are static → unrolled with Python ints (shiftright
     # requires a literal shift amount)
     sums = F.aggregate(
-        toks,
+        hashed,
         zero,
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
                     F.when(
-                        F.shiftright(th(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
                     ).otherwise(F.lit(-1))
                     for b in range(bits)
                 ]
@@ -360,6 +367,11 @@ def simhash_near_dup_pairs(
     trick: split the sketch into ``blocks`` chunks — any pair within distance
     max_hamming < blocks must agree on ≥1 chunk, so the self-join keys on
     (chunk_no, chunk_value) instead of all pairs."""
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < blocks ({blocks}); the "
+            "pigeonhole recall guarantee needs one agreeing chunk"
+        )
     width = bits // blocks
     mask = (1 << width) - 1
     s = df.select(F.col(id_col).alias("_id"), simhash_expr(F.col(text_col), bits).alias("sim"))

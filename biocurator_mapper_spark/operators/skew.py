@@ -41,19 +41,19 @@ def salted_agg(
     """Two-phase skew-safe aggregation.
 
     ``aggs`` maps output column → (input column, fn) with fn in
-    {count, sum, min, max}. The salt hashes ``salt_on`` (default: all
-    non-key columns used by the aggregates) so hot keys spread.
+    {count, sum, min, max}; count follows SQL COUNT(col) semantics (nulls
+    skipped), matching the direct groupBy equivalent. The salt hashes
+    ``salt_on`` (default: ALL columns — a hot key's rows spread unless they
+    are fully identical, in which case collapsing them early is free).
     """
     mergers = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
-    salt_src = salt_on or sorted({c for c, _ in aggs.values()})
+    salt_src = salt_on or list(df.columns)
     salted = df.withColumn(
         "_salt", deterministic_salt([F.col(c) for c in salt_src], n_salts)
     )
     phase1 = salted.groupBy(*key_cols, "_salt").agg(
         *[
-            (
-                F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(F.col(src))
-            ).alias(f"_p_{out}")
+            getattr(F, fn if fn != "count" else "count")(F.col(src)).alias(f"_p_{out}")
             for out, (src, fn) in aggs.items()
         ]
     )
@@ -74,7 +74,12 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join where ``big`` has hot keys: the small side is replicated
-    ``n_salts``× and the big side's rows scatter deterministically."""
+    ``n_salts``× and the big side's rows scatter deterministically.
+
+    Only inner/left are meaningful: right/full outer would surface each
+    unmatched small-side key once per salt replica."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, not {how!r}")
     small_rep = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -48,6 +48,14 @@ def broadcast_topk(
     normalized per batch, so the dot product IS the cosine.
     """
     spark = queries.sparkSession
+    if len(corpus_ids) == 0:
+        # empty corpus (e.g. quality filter rejected every term) → empty
+        # result, not a numpy shape error inside executor tasks
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} string, {id_out_col} string, rank int, "
+            "cosine float, certainty float",
+        )
     norms = np.linalg.norm(corpus_matrix, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     normalized = (corpus_matrix / norms).astype(np.float32)

@@ -75,7 +75,6 @@ class ParquetCatalog:
     # ------------------------------------------------------------ append log
     def append(self, df: DataFrame, table: str) -> None:
         """Append-only commit log (metrics / checkpoints)."""
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         df.write.mode("append").parquet(os.path.join(self._table_dir(table), "log"))
 
     def read_log(self, table: str) -> DataFrame | None:

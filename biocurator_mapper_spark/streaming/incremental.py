@@ -53,10 +53,12 @@ def incremental_triples_query(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         triples = build_triples(batch_df, terms, k=k)
-        (
-            triples.write.mode("append")
-            .partitionBy("part_bucket")
-            .parquet(output_dir)
+        # idempotent per micro-batch: each batch owns a deterministic
+        # batch_id=<n> directory and OVERWRITES it, so a post-write,
+        # pre-checkpoint crash followed by replay rewrites the same files
+        # instead of appending duplicates (exactly-once at the batch level)
+        triples.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
         )
         if on_batch is not None:
             on_batch(batch_id, batch_df.count())
