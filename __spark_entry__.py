@@ -433,6 +433,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_salts=8,
         )
 
+    def curation_pipeline(spark, sf_dir):
+        from biocurator_mapper_spark.pipeline.curation import curate
+
+        return curate(_docs(spark, sf_dir))
+
+    def curation_funnel_report(spark, sf_dir):
+        from biocurator_mapper_spark.pipeline.curation import curate, curation_funnel
+
+        return curation_funnel(curate(_docs(spark, sf_dir)))
+
     def dedup_exact(spark, sf_dir):
         return exact_dedup(_docs(spark, sf_dir), "doc_id", ["text"]).select(
             "text", "representative_id", "dup_count"
@@ -561,6 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": agg_pricing_summary,
         "join_top_customers_per_nation": join_top_customers_per_nation,
         "events_hourly_windows": events_hourly_windows,
+        "curation_pipeline": curation_pipeline,
+        "curation_funnel_report": curation_funnel_report,
         "dedup_exact": dedup_exact,
         "dedup_fingerprint": dedup_fingerprint,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -789,6 +801,42 @@ FROM (SELECT doc_id FROM documents) k LEFT JOIN sh ON k.doc_id = sh.doc_id
 """
 
 
+
+_CURATION_SQL = None
+
+
+def _curation_sql() -> str:
+    stop = _sql_list(_EN)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, lang,
+    length(text) AS nc,
+    len(list_filter(string_split_regex(lower(text), '[^\\p{{L}}0-9'']+'), x -> x <> '')) AS nt,
+    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+      / greatest(length(text), 1)::DOUBLE AS pr,
+    len(list_filter(list_filter(string_split_regex(lower(text), '[^\\p{{L}}0-9'']+'), x -> x <> ''),
+                    x -> list_contains({stop}, x)))
+      / greatest(len(list_filter(string_split_regex(lower(text), '[^\\p{{L}}0-9'']+'), x -> x <> '')), 1)::DOUBLE AS sr,
+    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+g AS (
+  SELECT doc_id, fingerprint,
+    CASE WHEN nc < 80 THEN 'too_short'
+         WHEN nt < 10 THEN 'too_few_tokens'
+         WHEN pr > 0.2 THEN 'too_much_punct'
+         WHEN sr < 0.01 THEN 'no_stopwords'
+         WHEN lang NOT IN ('en') THEN 'wrong_language' END AS gate
+  FROM t
+),
+reps AS (SELECT fingerprint, min(doc_id) AS rep FROM g WHERE gate IS NULL GROUP BY 1)
+SELECT g.doc_id, g.fingerprint,
+       coalesce(g.gate, CASE WHEN g.doc_id <> r.rep THEN 'duplicate' END, 'kept')
+         AS curation_stage
+FROM g LEFT JOIN reps r ON r.fingerprint = g.fingerprint
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "p1_parse_terms": _p1_sql(),
@@ -960,6 +1008,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(avg(value), 6) AS avg_value
             FROM events GROUP BY 1, 2
         """,
+        "curation_pipeline": _curation_sql(),
+        "curation_funnel_report": f"""
+            WITH base AS ({{0}})
+            SELECT curation_stage, count(*) AS n_docs FROM base GROUP BY 1
+        """.format(_curation_sql()),
         "dedup_exact": """
             SELECT text, min(doc_id) AS representative_id, count(*) AS dup_count
             FROM documents GROUP BY text

@@ -1,0 +1,87 @@
+"""Training-data curation: the standard quality → language → dedup funnel.
+
+Composes the engine's text-analysis and dedup operators into the one
+pipeline every large-scale pretraining corpus goes through:
+
+1. quality gate — min length, token count, punctuation ratio, stopword
+   ratio bounds (functions.text.quality_score_cols);
+2. language filter — keep target languages (declared lang column or the
+   stopword-vote lang_id fallback);
+3. exact dedup — one representative (min id) per normalized fingerprint;
+4. emit the kept corpus + a per-stage funnel report (rows in/out per gate,
+   the reference's filter-rejection tally A4 writ large).
+
+Everything is built-in expressions + hash aggregates: two shuffles total
+(fingerprint dedup, funnel counts), no Python in the hot path, all stages
+oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, lang_id_expr, quality_score_cols
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    keep_langs: tuple[str, ...] = ("en",),
+    min_chars: int = 80,
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.01,
+) -> DataFrame:
+    """docs → kept docs with a ``curation_stage`` column marking survivors
+    ('kept') and the first gate each rejected doc failed — one relation
+    carries both the output corpus and the funnel report."""
+    q = quality_score_cols(F.col(text_col))
+    lang = (
+        F.col(lang_col) if lang_col and lang_col in docs.columns
+        else lang_id_expr(F.col(text_col))
+    )
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        q["n_chars"].alias("_nc"),
+        q["n_tokens"].alias("_nt"),
+        q["punct_ratio"].alias("_pr"),
+        q["stopword_ratio"].alias("_sr"),
+        lang.alias("_lang"),
+        doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    first_gate = (
+        F.when(F.col("_nc") < min_chars, F.lit("too_short"))
+        .when(F.col("_nt") < min_tokens, F.lit("too_few_tokens"))
+        .when(F.col("_pr") > max_punct_ratio, F.lit("too_much_punct"))
+        .when(F.col("_sr") < min_stopword_ratio, F.lit("no_stopwords"))
+        .when(~F.col("_lang").isin(list(keep_langs)), F.lit("wrong_language"))
+    )
+    gated = staged.withColumn("_gate", first_gate)
+    # dedup among gate survivors only: representative = min id per fingerprint
+    survivors = gated.where(F.col("_gate").isNull())
+    reps = survivors.groupBy("fingerprint").agg(
+        F.min(id_col).alias("_rep_id")
+    )
+    return (
+        gated.join(reps, "fingerprint", "left")
+        .select(
+            id_col,
+            "fingerprint",
+            F.coalesce(
+                F.col("_gate"),
+                F.when(F.col(id_col) != F.col("_rep_id"), F.lit("duplicate")),
+                F.lit("kept"),
+            ).alias("curation_stage"),
+        )
+    )
+
+
+def curation_funnel(curated: DataFrame) -> DataFrame:
+    """Stage → count report over :func:`curate` output (A4 at corpus scale)."""
+    return curated.groupBy("curation_stage").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
