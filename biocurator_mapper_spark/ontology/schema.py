@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     StringType,
     StructField,
     StructType,
@@ -95,7 +96,8 @@ OBO_GRAPH_SCHEMA = StructType(
 )
 
 # Output of the parse stage — the engine's central dimension table
-# (reference ``app/go_parser.py:129-141``).
+# (reference ``app/go_parser.py:129-141`` + the obsolete flag for F5 and the
+# composed searchable text; matches parse_terms' actual column set).
 TERM_SCHEMA = StructType(
     [
         StructField("term_id", StringType()),
@@ -108,6 +110,7 @@ TERM_SCHEMA = StructType(
         StructField("all_synonyms", ArrayType(StringType())),
         StructField("cross_references", ArrayType(StringType())),
         StructField("namespace", StringType()),
+        StructField("is_obsolete", BooleanType()),
         StructField("searchable_text", StringType()),
     ]
 )
