@@ -494,6 +494,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return lsh_topk(q, c, dim=64, k=5, n_planes=6, n_tables=8)
 
+    def sim_ann_ivf_topk(spark, sf_dir):
+        # IVF coarse-quantizer ANN — approximate (rows-only; recall and the
+        # nprobe==n_centroids exactness equivalence are pinned in pytest)
+        from biocurator_mapper_spark.operators.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        )
+        c = emb.select(
+            F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_embedding")
+        )
+        return ivf_topk(q, c, dim=64, k=5, n_centroids=16, nprobe=4)
+
     def text_simhash(spark, sf_dir):
         from biocurator_mapper_spark.operators.dedup import simhash_expr
 
@@ -581,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_freq": text_ngram_freq,
         "dedup_simhash": dedup_simhash,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
+        "sim_ann_ivf_topk": sim_ann_ivf_topk,
         "text_simhash": text_simhash,
         "text_token_count": text_token_count,
         "text_quality": text_quality,

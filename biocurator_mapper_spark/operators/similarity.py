@@ -107,6 +107,107 @@ def lsh_topk(
     )
 
 
+def _kmeans_lite(
+    sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on L2-normalized vectors (driver-side;
+    the sample is bounded). Empty clusters re-seed from the sample."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = sample / norms
+    idx = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
+    cents = x[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                cents[c] = v / n if n > 0 else cents[c]
+            else:
+                cents[c] = x[int(rng.integers(len(x)))]
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 10_000,
+    seed: int = 7,
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "corpus_id",
+    query_vec: str = "q_embedding",
+    corpus_vec: str = "c_embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    alternative to LSH:
+
+    1. train ``n_centroids`` centroids on a bounded, deterministic corpus
+       sample (driver-side Lloyd's; the index is data-adaptive where LSH
+       hyperplanes are oblivious);
+    2. assign every corpus vector to its nearest centroid (one broadcast
+       matmul per Arrow batch — narrow);
+    3. each query probes its ``nprobe`` nearest centroids (explode to
+       nprobe rows) and joins corpus rows on centroid id — the shuffle key
+       is the centroid id, sized by construction at corpus/n_centroids;
+    4. exact cosine re-scores candidates; per-query window keeps k.
+
+    Recall grows with nprobe (nprobe = n_centroids ⇒ exact search).
+    """
+    spark = queries.sparkSession
+    sample_rows = (
+        corpus.select(corpus_vec).orderBy(corpus_id_col).limit(train_sample).collect()
+    )
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float32)
+    cents = _kmeans_lite(sample, n_centroids, seed=seed)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def _assign_udf(n_nearest: int):
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def _assign(vecs: pd.Series) -> pd.Series:
+            c = bc.value
+            mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float32)).values)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ c.T
+            nn = min(n_nearest, sims.shape[1])
+            top = np.argpartition(-sims, nn - 1, axis=1)[:, :nn]
+            return pd.Series([[int(i) for i in row] for row in top])
+
+        return _assign
+
+    c_assigned = corpus.withColumn(
+        "_cent", F.explode(_assign_udf(1)(F.col(corpus_vec)))
+    )
+    q_assigned = queries.withColumn(
+        "_cent", F.explode(_assign_udf(nprobe)(F.col(query_vec)))
+    )
+    cands = (
+        q_assigned.join(c_assigned, "_cent")
+        .drop("_cent")
+        .dropDuplicates([query_id_col, corpus_id_col])
+        .withColumn("cosine", cosine_expr(F.col(query_vec), F.col(corpus_vec)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(corpus_id_col))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            corpus_id_col,
+            "rank",
+            "cosine",
+            certainty_expr(F.col("cosine")).alias("certainty"),
+        )
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str,

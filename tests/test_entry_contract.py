@@ -19,7 +19,7 @@ def test_oracle_keys_subset_of_queries():
     assert ok <= qk, ok - qk
     # the rows-only set is small and intentional
     rows_only = qk - ok
-    assert rows_only <= {"dedup_simhash", "sim_ann_lsh_topk", "kg_triples"}
+    assert rows_only <= {"dedup_simhash", "sim_ann_lsh_topk", "sim_ann_ivf_topk", "kg_triples"}
 
 
 def test_entry_smoke(spark):

@@ -65,3 +65,36 @@ def test_embedding_cosine_pairs_planted_dup(spark):
     got = {(r.id_a, r.id_b): r.cosine for r in pairs.collect()}
     assert ("a", "b") in got
     assert got[("a", "b")] > 0.999  # scaled copy → cosine 1
+
+
+def test_ivf_topk_recall_vs_exact(spark, vec_data):
+    from biocurator_mapper_spark.operators.similarity import ivf_topk
+
+    queries = vec_data.limit(10).select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("q_embedding")
+    )
+    corpus = vec_data.select(
+        F.col("vid").alias("corpus_id"), F.col("vec").alias("c_embedding")
+    )
+    exact = brute_force_topk_join(queries, corpus, k=5)
+    approx = ivf_topk(queries, corpus, DIM, k=5, n_centroids=8, nprobe=3)
+    ex = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    ap = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, recall  # 5 real clusters, 8 centroids, 3 probes
+
+
+def test_ivf_full_probe_equals_exact(spark, vec_data):
+    from biocurator_mapper_spark.operators.similarity import ivf_topk
+
+    queries = vec_data.limit(5).select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("q_embedding")
+    )
+    corpus = vec_data.select(
+        F.col("vid").alias("corpus_id"), F.col("vec").alias("c_embedding")
+    )
+    exact = {(r.query_id, r.rank): r.corpus_id
+             for r in brute_force_topk_join(queries, corpus, k=5).collect()}
+    full = {(r.query_id, r.rank): r.corpus_id
+            for r in ivf_topk(queries, corpus, DIM, k=5, n_centroids=4, nprobe=4).collect()}
+    assert exact == full  # nprobe == n_centroids ⇒ exhaustive ⇒ identical
