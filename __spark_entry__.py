@@ -549,6 +549,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "subj", "pred", "obj", "mention", "confidence"
         )
 
+    def j7_canonical_mapping(spark, sf_dir):
+        # alias-graph canonicalization over the vocab ontology — the DuckDB
+        # oracle computes the same transitive closure with a recursive CTE
+        from biocurator_mapper_spark.operators.canonicalize import canonical_mapping
+
+        return canonical_mapping(_vocab_terms(spark))
+
     def kg_mention_recall(spark, sf_dir):
         # SQL-checkable slice of the pipeline: every (doc, term) candidate
         # that mention detection must recall
@@ -602,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
         "kg_triples": kg_triples,
+        "j7_canonical_mapping": j7_canonical_mapping,
         "kg_mention_recall": kg_mention_recall,
     }
 
@@ -1112,6 +1120,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "j7_canonical_mapping": """
+            WITH RECURSIVE
+            e(a, b) AS (VALUES ('OP:0001', 'xref:XOP:SCAN'), ('OP:0002', 'xref:XOP:JOIN'), ('OP:0003', 'xref:XOP:AGG'), ('OP:0004', 'xref:XOP:STREAM'), ('OP:0005', 'xref:XOP:SORT'), ('OP:0005', 'xref:XOP:JOIN')),
+            bi AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            t(term_id) AS (VALUES ('OP:0001'), ('OP:0002'), ('OP:0003'), ('OP:0004'), ('OP:0005')),
+            reach(node, m) AS (
+              SELECT a, a FROM (SELECT a FROM bi UNION SELECT b FROM bi)
+              UNION
+              SELECT bi.a, r.m FROM reach r JOIN bi ON bi.b = r.node
+            ),
+            comp AS (SELECT node, min(m) AS c FROM reach GROUP BY node),
+            canon AS (
+              SELECT comp.c, min(t.term_id) AS canonical_id
+              FROM comp JOIN t ON t.term_id = comp.node
+              GROUP BY comp.c
+            )
+            SELECT t.term_id,
+                   coalesce(canon.canonical_id, t.term_id) AS canonical_id
+            FROM t
+            LEFT JOIN comp ON comp.node = t.term_id
+            LEFT JOIN canon ON canon.c = comp.c
         """,
         "kg_mention_recall": f"""
             SELECT d.doc_id, dic.term_id, count(*) AS n_surfaces
