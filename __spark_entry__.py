@@ -819,7 +819,7 @@ sh AS (
   SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
   FROM bits GROUP BY doc_id
 )
-SELECT k.doc_id, coalesce(sh.simhash, 0) AS simhash
+SELECT k.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
 FROM (SELECT doc_id FROM documents) k LEFT JOIN sh ON k.doc_id = sh.doc_id
 """
 
@@ -997,7 +997,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE props->>'k' IS NOT NULL
         """,
         "skew_salted_host_stats": """
-            SELECT source, count(doc_id) AS n_docs, sum(n_chars) AS sum_chars,
+            -- sum() over integers is HUGEINT in DuckDB (arrow decimal128) but
+            -- BIGINT in Spark; cast so the driver's value hash matches
+            SELECT source, count(doc_id) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY source
         """,

@@ -21,6 +21,59 @@ from biocurator_mapper_spark.session import get_spark  # noqa: E402
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _duck_type_classes(res):
+    """Normalized per-column type class from DuckDB's arrow schema.
+
+    Catches representation mismatches the stringified-value compare can't —
+    e.g. DuckDB sum() over integers is HUGEINT (arrow decimal128(38,0)) while
+    Spark's is BIGINT (int64); the driver's value hash is type-sensitive.
+    """
+    import pyarrow as pa
+
+    def cls(t):
+        if pa.types.is_integer(t):
+            return "int"
+        if pa.types.is_floating(t):
+            return "float"
+        if pa.types.is_decimal(t):
+            return "decimal"
+        if pa.types.is_boolean(t):
+            return "bool"
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            return "timestamp"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return "list"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return "binary"
+        return "str"
+
+    tb = res.fetch_arrow_table()
+    return {f.name: cls(f.type) for f in tb.schema}, tb
+
+
+def _spark_type_classes(df):
+    from pyspark.sql import types as T
+
+    def cls(t):
+        if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return "int"
+        if isinstance(t, (T.FloatType, T.DoubleType)):
+            return "float"
+        if isinstance(t, T.DecimalType):
+            return "decimal"
+        if isinstance(t, T.BooleanType):
+            return "bool"
+        if isinstance(t, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            return "timestamp"
+        if isinstance(t, T.ArrayType):
+            return "list"
+        if isinstance(t, T.BinaryType):
+            return "binary"
+        return "str"
+
+    return {f.name: cls(f.dataType) for f in df.schema.fields}
+
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -66,6 +119,7 @@ def main():
             print(f"[rows-only] {name}: {len(sp_rows)} rows")
             continue
         try:
+            dk_types, _ = _duck_type_classes(con.execute(oracles[name]))
             res = con.execute(oracles[name])
             dk_cols = [d[0] for d in res.description]
             dk_rows = res.fetchall()
@@ -76,6 +130,15 @@ def main():
         problems = []
         if sorted(sp_cols) != sorted(dk_cols):
             problems.append(f"schema {sorted(sp_cols)} != {sorted(dk_cols)}")
+        else:
+            sp_types = _spark_type_classes(df)
+            tmis = {
+                c: (sp_types[c], dk_types[c])
+                for c in sp_cols
+                if sp_types[c] != dk_types.get(c)
+            }
+            if tmis:
+                problems.append(f"type-class mismatch {tmis}")
         if len(sp_rows) != len(dk_rows):
             problems.append(f"rowcount {len(sp_rows)} != {len(dk_rows)}")
         if not problems:
