@@ -477,14 +477,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_frequencies(_docs(spark, sf_dir), "text", n=2, top=100)
 
     def dedup_simhash(spark, sf_dir):
-        # rows-only check: the 48-bit sketch itself is oracle-checkable only
-        # with heavy SQL; near-dup pairs are verified in pytest instead
+        # block-permutation near-dup pairs; the DuckDB oracle rebuilds the
+        # sketch AND the 4×12-bit chunk join (see _SIMHASH_PAIRS_SQL)
         return simhash_near_dup_pairs(
             _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
-        )
+        ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
     def sim_ann_lsh_topk(spark, sf_dir):
-        # approximate — rows-only check (recall vs exact is pinned in pytest)
+        # candidate generation is integer-exact (quantized vectors × ±1
+        # sign planes), so the DuckDB oracle replicates it bit-for-bit
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         q = emb.where(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
@@ -492,11 +493,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c = emb.select(
             F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_embedding")
         )
-        return lsh_topk(q, c, dim=64, k=5, n_planes=6, n_tables=8)
+        out = lsh_topk(q, c, dim=64, k=5, n_planes=6, n_tables=8)
+        return out.select(
+            "query_id", "corpus_id", F.col("rank").cast("bigint").alias("rank"),
+            "cosine", "certainty",
+        )
 
     def sim_ann_ivf_topk(spark, sf_dir):
-        # IVF coarse-quantizer ANN — approximate (rows-only; recall and the
-        # nprobe==n_centroids exactness equivalence are pinned in pytest)
+        # IVF coarse-quantizer ANN — deterministic md5-sampled training +
+        # integer-quantized assignment; the oracle retrains identical
+        # centroids driver-side and inlines them as a VALUES table
         from biocurator_mapper_spark.operators.similarity import ivf_topk
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -506,7 +512,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c = emb.select(
             F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_embedding")
         )
-        return ivf_topk(q, c, dim=64, k=5, n_centroids=16, nprobe=4)
+        out = ivf_topk(q, c, dim=64, k=5, n_centroids=16, nprobe=4)
+        return out.select(
+            "query_id", "corpus_id", F.col("rank").cast("bigint").alias("rank"),
+            "cosine", "certainty",
+        )
 
     def text_simhash(spark, sf_dir):
         from biocurator_mapper_spark.operators.dedup import simhash_expr
@@ -799,8 +809,9 @@ FROM parsed
 # 48-bit sign-sum SimHash in pure SQL: distinct tokens × 48 bit positions,
 # per-bit ±1 vote, reassembled with 1<<b weights — same construction as
 # operators/dedup.py::simhash_expr (token hash = first 12 md5 hex chars).
-_SIMHASH_SQL = """
-WITH tok AS (
+# coalesce ::BIGINT: DuckDB sum() is HUGEINT; Spark's sketch is BIGINT.
+_SIMHASH_CTES = """
+tok AS (
   SELECT doc_id,
          list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
   FROM documents
@@ -815,14 +826,192 @@ bits AS (
   FROM th, (SELECT unnest(range(48)) AS b) b
   GROUP BY doc_id, b.b
 ),
-sh AS (
+shsum AS (
   SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
   FROM bits GROUP BY doc_id
+),
+sim AS (
+  SELECT k.doc_id, coalesce(shsum.simhash, 0)::BIGINT AS simhash
+  FROM (SELECT doc_id FROM documents) k LEFT JOIN shsum ON k.doc_id = shsum.doc_id
 )
-SELECT k.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
-FROM (SELECT doc_id FROM documents) k LEFT JOIN sh ON k.doc_id = sh.doc_id
 """
 
+_SIMHASH_SQL = f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM sim"
+
+# block-permutation near-dup pairing over the same sketch: 4 chunks × 12
+# bits; any pair within hamming ≤ 3 agrees on ≥1 chunk (pigeonhole) — the
+# SQL mirror of operators/dedup.py::simhash_near_dup_pairs
+_SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CTES},
+chunks AS (
+  SELECT doc_id, simhash, c.i AS chunk_no,
+         (simhash >> (c.i * 12)::INT) & 4095 AS chunk_val
+  FROM sim, (SELECT unnest(range(4)) AS i) c
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+  FROM chunks a
+  JOIN chunks b ON a.chunk_no = b.chunk_no AND a.chunk_val = b.chunk_val
+              AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    """Bit-identical cosine: double cast before multiply, left-to-right
+    list_sum fold — matches functions/embed.py::cosine_expr exactly."""
+    r = f"range(1, {dim + 1})"
+    return (
+        f"list_sum(list_transform({r}, i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+        f" / (sqrt(list_sum(list_transform({r}, i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+        f" * sqrt(list_sum(list_transform({r}, i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))"
+    )
+
+
+_QUANT_SQL = "list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT)"
+
+# The driver compares Spark vs oracle at sf0.01; tools/check_oracles.py
+# overrides this when checking another scale factor. Only the IVF oracle
+# needs it (its centroids are trained on the input corpus).
+_ORACLE_SF_DIR_ENV = "SPARK_GRAFT_ORACLE_SF_DIR"
+
+
+def _lsh_topk_sql(
+    dim: int = 64, k: int = 5, n_planes: int = 6, n_tables: int = 8, seed: int = 7
+) -> str:
+    """SQL mirror of operators/similarity.py::lsh_topk: the seeded ±1 sign
+    matrix is inlined as a VALUES table; signatures are integer dot-product
+    signs over floor(x*1000+0.5)-quantized vectors (exact in any engine);
+    candidates join on bucket; exact cosine re-scores; window keeps k."""
+    from biocurator_mapper_spark.operators.similarity import plane_signs
+
+    signs = plane_signs(dim, n_planes, n_tables, seed)
+    vals = ",\n  ".join(
+        f"({t}, {p}, [{', '.join(str(int(v)) for v in signs[t * n_planes + p])}])"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    sig = (
+        f"sum(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), i -> q[i] * s[i])) > 0"
+        f" THEN (1::BIGINT << p) ELSE 0 END)::BIGINT + t * {1 << n_planes}"
+    )
+    return f"""
+WITH planes(t, p, s) AS (VALUES
+  {vals}
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qe, {_QUANT_SQL} AS q
+       FROM embeddings WHERE vec_id < 10),
+cvv AS (SELECT vec_id AS corpus_id, embedding AS ce, {_QUANT_SQL} AS q
+        FROM embeddings),
+qb AS (SELECT query_id, {sig} AS bucket FROM qv, planes GROUP BY query_id, t),
+cb AS (SELECT corpus_id, {sig} AS bucket FROM cvv, planes GROUP BY corpus_id, t),
+cand AS (SELECT DISTINCT q.query_id, c.corpus_id FROM qb q JOIN cb c ON q.bucket = c.bucket),
+scored AS (
+  SELECT cand.query_id, cand.corpus_id, {_cos_sql("qe", "ce", dim)} AS cosine
+  FROM cand
+  JOIN qv ON qv.query_id = cand.query_id
+  JOIN cvv ON cvv.corpus_id = cand.corpus_id
+),
+ranked AS (
+  SELECT query_id, corpus_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, rank, cosine,
+       (1.0::DOUBLE + cosine) / 2.0::DOUBLE AS certainty
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ivf_topk_sql(
+    dim: int = 64,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 10_000,
+    seed: int = 7,
+) -> str:
+    """SQL mirror of operators/similarity.py::ivf_topk: replicates the
+    md5-threshold training sample + Lloyd's k-means driver-side (identical
+    numpy on identical input → identical centroids), inlines the quantized
+    centroids as VALUES, and assigns by integer dot with the same
+    (dot DESC, cid ASC) tie-break as the stable argsort."""
+    import hashlib
+    import os as _os
+
+    import duckdb as _duckdb
+    import numpy as _np
+
+    from biocurator_mapper_spark.operators.similarity import (
+        CENTROID_SCALE,
+        _kmeans_lite,
+        quantize,
+    )
+
+    sf_dir = _os.environ.get(_ORACLE_SF_DIR_ENV, "/root/testdata/sf0.01")
+    con = _duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    frac = min(1.0, (2.0 * train_sample) / max(len(rows), 1))
+    thresh = int(frac * 0xFFFF) + 1
+    keep = [
+        (vid, emb)
+        for vid, emb in rows
+        if int(hashlib.md5(str(vid).encode()).hexdigest()[:4], 16) < thresh
+    ]
+    keep.sort(key=lambda r: str(r[0]))
+    sample = _np.array([e for _, e in keep[:train_sample]], dtype=_np.float32)
+    qc = quantize(
+        _kmeans_lite(sample, n_centroids, seed=seed).astype(_np.float64),
+        CENTROID_SCALE,
+    )
+    vals = ",\n  ".join(
+        f"({i}, [{', '.join(str(int(v)) for v in qc[i])}])" for i in range(len(qc))
+    )
+    dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> q[i] * cv[i]))"
+    return f"""
+WITH cents(cid, cv) AS (VALUES
+  {vals}
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qe, {_QUANT_SQL} AS q
+       FROM embeddings WHERE vec_id < 10),
+cvv AS (SELECT vec_id AS corpus_id, embedding AS ce, {_QUANT_SQL} AS q
+        FROM embeddings),
+qa AS (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id ORDER BY {dot} DESC, cid ASC) AS rn
+    FROM qv, cents
+  ) WHERE rn <= {nprobe}
+),
+ca AS (
+  SELECT corpus_id, cid FROM (
+    SELECT corpus_id, cid,
+           row_number() OVER (PARTITION BY corpus_id ORDER BY {dot} DESC, cid ASC) AS rn
+    FROM cvv, cents
+  ) WHERE rn = 1
+),
+cand AS (SELECT DISTINCT qa.query_id, ca.corpus_id FROM qa JOIN ca ON qa.cid = ca.cid),
+scored AS (
+  SELECT cand.query_id, cand.corpus_id, {_cos_sql("qe", "ce", dim)} AS cosine
+  FROM cand
+  JOIN qv ON qv.query_id = cand.query_id
+  JOIN cvv ON cvv.corpus_id = cand.corpus_id
+),
+ranked AS (
+  SELECT query_id, corpus_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, rank, cosine,
+       (1.0::DOUBLE + cosine) / 2.0::DOUBLE AS certainty
+FROM ranked WHERE rank <= {k}
+"""
 
 
 _CURATION_SQL = None
@@ -1096,6 +1285,9 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "text_simhash": _SIMHASH_SQL,
+        "dedup_simhash": _SIMHASH_PAIRS_SQL,
+        "sim_ann_lsh_topk": _lsh_topk_sql(),
+        "sim_ann_ivf_topk": _ivf_topk_sql(),
         "text_token_count": """
             SELECT doc_id,
                    len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))

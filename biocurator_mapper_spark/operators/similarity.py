@@ -22,9 +22,34 @@ from pyspark.sql.types import ArrayType, IntegerType
 from ..functions.embed import certainty_expr, cosine_expr
 
 
+QUANT_SCALE = 1000.0  # vector components → ints (exact cross-engine arith)
+CENTROID_SCALE = 10000.0  # unit centroids get one more digit of precision
+
+
+def quantize(mat64: np.ndarray, scale: float = QUANT_SCALE) -> np.ndarray:
+    """float64 → int64 via floor(x*scale + 0.5) — round-half-up with ONLY
+    IEEE double ops, so ``floor(x::DOUBLE * scale + 0.5)::BIGINT`` in any
+    SQL engine reproduces it bit-for-bit. All candidate generation below
+    runs on these ints (exact), keeping the Spark plan and the DuckDB
+    oracle in perfect agreement; only the final re-score is float (and that
+    uses the left-to-right double fold of ``cosine_expr``, also exact)."""
+    return np.floor(mat64 * scale + 0.5).astype(np.int64)
+
+
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
+
+
+def plane_signs(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    """(n_tables*n_planes, dim) ±1 sign matrix (Rademacher hyperplanes) —
+    the sign pattern of the seeded gaussian tensor. Signed-sum LSH over
+    quantized vectors is integer arithmetic: deterministic and replicable
+    in SQL, with the same collision geometry as gaussian hyperplanes."""
+    flat = _hyperplanes(dim, n_planes, n_tables, seed).reshape(
+        n_tables * n_planes, dim
+    )
+    return np.where(flat > 0, 1, -1).astype(np.int64)
 
 
 def with_lsh_buckets(
@@ -38,20 +63,21 @@ def with_lsh_buckets(
 ) -> DataFrame:
     """+ array<int> of ``n_tables`` bucket ids (sign-bit signatures).
 
-    The hyperplane tensor is seeded and broadcast — identical across
-    executors/runs; the signature is one (B, dim) @ (dim, tables*planes)
-    matmul per Arrow batch.
+    The sign matrix is seeded and broadcast — identical across
+    executors/runs; the signature is one integer (B, dim) @ (dim, T*P)
+    matmul per Arrow batch over the quantized vectors. Integer arithmetic
+    makes the bucket assignment exactly reproducible by a SQL oracle
+    (float32 matmuls can flip the sign of near-zero dots between engines).
     """
     spark = df.sparkSession
-    planes = _hyperplanes(dim, n_planes, n_tables, seed)
-    flat = planes.reshape(n_tables * n_planes, dim).T  # (dim, T*P)
-    bc = spark.sparkContext.broadcast((flat, n_tables, n_planes))
+    signs = plane_signs(dim, n_planes, n_tables, seed)  # (T*P, dim) int64
+    bc = spark.sparkContext.broadcast((signs.T, n_tables, n_planes))
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _sig(vecs: pd.Series) -> pd.Series:
-        f, nt, npl = bc.value
-        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float32)).values)
-        bits = (mat @ f) > 0  # (B, T*P)
+        st, nt, npl = bc.value  # (dim, T*P)
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).values)
+        bits = (quantize(mat) @ st) > 0  # (B, T*P) — exact int compare
         weights = 1 << np.arange(npl)
         out = []
         for row in bits:
@@ -131,6 +157,51 @@ def _kmeans_lite(
     return cents
 
 
+def ivf_sample_rows(
+    corpus: DataFrame, id_col: str, vec_col: str, train_sample: int
+) -> list:
+    """Bounded deterministic training sample WITHOUT a global sort: keep
+    rows whose md5(id-as-string) prefix falls under a threshold sized to
+    ~2× the target (one narrow filter over the corpus — at 100 TB this is
+    a scan that keeps a few thousand rows, vs the full shuffle an
+    ``orderBy().limit()`` sample would cost), then order the collected
+    handful driver-side by id and truncate. md5-of-string is engine-
+    agnostic, so a SQL oracle reproduces the exact same sample."""
+    n = corpus.count()  # column-pruned count; cheap next to any sort
+    if n == 0:
+        return []
+    frac = min(1.0, (2.0 * train_sample) / n)
+    thresh = int(frac * 0xFFFF) + 1
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .where(
+            F.conv(
+                F.substring(F.md5(F.col("_id").cast("string")), 1, 4), 16, 10
+            ).cast("long")
+            < F.lit(thresh)
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: str(r._id))
+    return rows[:train_sample]
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    corpus_id_col: str,
+    corpus_vec: str,
+    n_centroids: int,
+    train_sample: int,
+    seed: int,
+) -> np.ndarray:
+    """Quantized int64 centroid matrix trained on the deterministic sample
+    (shared by the Spark operator and the oracle generator)."""
+    rows = ivf_sample_rows(corpus, corpus_id_col, corpus_vec, train_sample)
+    sample = np.array([r._v for r in rows], dtype=np.float32)
+    cents = _kmeans_lite(sample, n_centroids, seed=seed)
+    return quantize(cents.astype(np.float64), CENTROID_SCALE)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -148,11 +219,14 @@ def ivf_topk(
     """IVF (inverted-file) approximate top-k — the coarse-quantizer
     alternative to LSH:
 
-    1. train ``n_centroids`` centroids on a bounded, deterministic corpus
-       sample (driver-side Lloyd's; the index is data-adaptive where LSH
-       hyperplanes are oblivious);
-    2. assign every corpus vector to its nearest centroid (one broadcast
-       matmul per Arrow batch — narrow);
+    1. train ``n_centroids`` centroids on a bounded, deterministic,
+       hash-filtered corpus sample (driver-side Lloyd's; the index is
+       data-adaptive where LSH hyperplanes are oblivious) — no global sort;
+    2. assign every corpus vector to its nearest centroid by INTEGER dot
+       product over the quantized vector and quantized centroids (one
+       broadcast matmul per Arrow batch — narrow, exact, oracle-replicable;
+       argmax of v·c equals argmax of cosine because |v| is constant per
+       row and the centroids are unit-normalized before quantization);
     3. each query probes its ``nprobe`` nearest centroids (explode to
        nprobe rows) and joins corpus rows on centroid id — the shuffle key
        is the centroid id, sized by construction at corpus/n_centroids;
@@ -161,23 +235,21 @@ def ivf_topk(
     Recall grows with nprobe (nprobe = n_centroids ⇒ exact search).
     """
     spark = queries.sparkSession
-    sample_rows = (
-        corpus.select(corpus_vec).orderBy(corpus_id_col).limit(train_sample).collect()
+    qcents = ivf_centroids(
+        corpus, corpus_id_col, corpus_vec, n_centroids, train_sample, seed
     )
-    sample = np.array([r[0] for r in sample_rows], dtype=np.float32)
-    cents = _kmeans_lite(sample, n_centroids, seed=seed)
-    bc = spark.sparkContext.broadcast(cents)
+    bc = spark.sparkContext.broadcast(qcents)
 
     def _assign_udf(n_nearest: int):
         @F.pandas_udf(ArrayType(IntegerType()))
         def _assign(vecs: pd.Series) -> pd.Series:
-            c = bc.value
-            mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float32)).values)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            sims = (mat / norms) @ c.T
+            qc = bc.value  # (C, dim) int64
+            mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).values)
+            sims = quantize(mat) @ qc.T  # int64 — exact
             nn = min(n_nearest, sims.shape[1])
-            top = np.argpartition(-sims, nn - 1, axis=1)[:, :nn]
+            # stable sort: ties break toward the lower centroid id, same as
+            # the oracle's ORDER BY dot DESC, cid ASC
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nn]
             return pd.Series([[int(i) for i in row] for row in top])
 
         return _assign
