@@ -32,6 +32,11 @@ DICT: list[tuple[str, str]] = [
     ("order sort", "OP:0005"),
 ]
 
+# Surfaces flagged is_exact by the pipeline's surface map: each term's name
+# + exact_synonyms from _vocab_terms (DICT minus the broad synonym
+# "sort merge" → OP:0002). Keep in sync with _vocab_terms.
+EXACT_DICT: list[tuple[str, str]] = [(s, t) for s, t in DICT if s != "sort merge"]
+
 _EN = (
     "the of and a to in is was it for on as with that this are be or an at "
     "by from has have not but were which you we they he she his her its"
@@ -96,8 +101,40 @@ def _dict_values_sql() -> str:
     return f"(VALUES {vals}) AS dic(surface, term_id)"
 
 
+def _exact_dict_values_sql() -> str:
+    vals = ", ".join(f"('{s}', '{t}')" for s, t in EXACT_DICT)
+    return f"(VALUES {vals}) AS dic(surface, term_id)"
+
+
 def _sql_list(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# Transitive alias-closure over the vocab ontology's xref graph, ending in
+# ``canon_map(term_id, canonical_id)`` — the independent re-derivation of
+# operators/canonicalize.py::canonical_mapping (used by j7 + kg_exact_winner).
+_CANON_CTES = """
+e(a, b) AS (VALUES ('OP:0001', 'xref:XOP:SCAN'), ('OP:0002', 'xref:XOP:JOIN'), ('OP:0003', 'xref:XOP:AGG'), ('OP:0004', 'xref:XOP:STREAM'), ('OP:0005', 'xref:XOP:SORT'), ('OP:0005', 'xref:XOP:JOIN')),
+bi AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+t(term_id) AS (VALUES ('OP:0001'), ('OP:0002'), ('OP:0003'), ('OP:0004'), ('OP:0005')),
+reach(node, m) AS (
+  SELECT a, a FROM (SELECT a FROM bi UNION SELECT b FROM bi)
+  UNION
+  SELECT bi.a, r.m FROM reach r JOIN bi ON bi.b = r.node
+),
+comp AS (SELECT node, min(m) AS c FROM reach GROUP BY node),
+canon AS (
+  SELECT comp.c, min(t.term_id) AS canonical_id
+  FROM comp JOIN t ON t.term_id = comp.node
+  GROUP BY comp.c
+),
+canon_map AS (
+  SELECT t.term_id, coalesce(canon.canonical_id, t.term_id) AS canonical_id
+  FROM t
+  LEFT JOIN comp ON comp.node = t.term_id
+  LEFT JOIN canon ON canon.c = comp.c
+)
+"""
 
 
 # ------------------------------------------------------------------ entry
@@ -559,6 +596,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "subj", "pred", "obj", "mention", "confidence"
         )
 
+    def kg_exact_winner(spark, sf_dir):
+        # oracle-checkable slice of the pipeline's DECISION logic: on pages
+        # with exactly one exact-surface term, the rerank's exactness bonus
+        # (+1.0 vs certainty ∈ (0,1)) makes that term the winner regardless
+        # of embeddings, so subj/pred/obj/mention are SQL-derivable from
+        # documents × the inline dict + the canonical mapping. The slice is
+        # computed by the REAL pipeline (build_triples) and only filtered.
+        pages = _docs_as_pages(spark, sf_dir)
+        triples = build_triples(pages, _vocab_terms(spark))
+        d = _docs(spark, sf_dir)
+        ex = spark.createDataFrame(EXACT_DICT, "surface string, term_id string")
+        one_exact = (
+            d.join(
+                F.broadcast(ex),
+                F.lower(F.col("text")).contains(F.col("surface")),
+            )
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term_id").alias("_n"))
+            .where(F.col("_n") == 1)
+            .select(F.concat(F.lit("doc://"), F.col("doc_id")).alias("subj"))
+        )
+        return triples.join(one_exact, "subj").select(
+            "subj", "pred", "obj", "mention"
+        )
+
     def j7_canonical_mapping(spark, sf_dir):
         # alias-graph canonicalization over the vocab ontology — the DuckDB
         # oracle computes the same transitive closure with a recursive CTE
@@ -619,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
         "kg_triples": kg_triples,
+        "kg_exact_winner": kg_exact_winner,
         "j7_canonical_mapping": j7_canonical_mapping,
         "kg_mention_recall": kg_mention_recall,
     }
@@ -663,7 +726,11 @@ s AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
 """
 
 
-def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_pairs_ctes(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """CTE body ending in ``mh_pairs(id_a, id_b, jaccard)`` — shared by the
+    minhash-LSH pair oracle and the (LSH-pair-based) cluster oracle."""
     rpb = num_hashes // bands
     mh_cols = ",\n         ".join(
         f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh_{i}"
@@ -678,7 +745,7 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -
         for b in range(bands)
     )
     return f"""
-WITH {_shingle_cte(3)},
+{_shingle_cte(3)},
 sig AS (
   SELECT doc_id,
          {mh_cols}
@@ -705,9 +772,16 @@ verified AS (
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.id_a
   JOIN sh sb ON sb.doc_id = c.id_b
-)
-SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+),
+mh_pairs AS (SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold})
 """
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    return (
+        f"WITH {_minhash_pairs_ctes(num_hashes, bands, threshold)} "
+        "SELECT id_a, id_b, jaccard FROM mh_pairs"
+    )
 
 
 def _lang_votes_sql() -> str:
@@ -1166,8 +1240,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "a2_throughput": """
+            -- floor(epoch()) mirrors Spark's unix_timestamp whole-second
+            -- truncation (DuckDB epoch() keeps fractional seconds)
             SELECT event_type,
-                   count(*) / greatest(epoch(max(ts)) - epoch(min(ts)), 1)::DOUBLE AS rows_per_s
+                   count(*) / greatest(floor(epoch(max(ts)))::BIGINT
+                                       - floor(epoch(min(ts)))::BIGINT, 1)::DOUBLE
+                     AS rows_per_s
             FROM events GROUP BY event_type
         """,
         "a3_batch_count": """
@@ -1237,11 +1315,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_ngram_jaccard": f"""
+            -- mirrors the default max_shingle_df=256 hub-shingle cap:
+            -- Jaccard is exact over the RETAINED shingle sets
             WITH {_shingle_cte(3)},
-            sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+            hot AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) > 256),
+            s2 AS (SELECT s.doc_id, s.shingle FROM s ANTI JOIN hot USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM s2 GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-              FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM s2 a JOIN s2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT i.id_a, i.id_b,
@@ -1253,20 +1335,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_sql(16, 4, 0.5),
         "dedup_clusters": f"""
-            WITH RECURSIVE {_shingle_cte(3)},
-            sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-              FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            ),
-            p AS (
-              SELECT i.id_a, i.id_b FROM inter i
-              JOIN sizes za ON za.doc_id = i.id_a
-              JOIN sizes zb ON zb.doc_id = i.id_b
-              WHERE i.n_inter / (za.sz + zb.sz - i.n_inter)::DOUBLE >= 0.5
-            ),
-            bi AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+            -- closure over the LSH-verified pair set (the operator's
+            -- scale-safe default), not the exact all-pairs set
+            WITH RECURSIVE {_minhash_pairs_ctes(16, 4, 0.5)},
+            bi AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+                   UNION SELECT id_b, id_a FROM mh_pairs),
             reach(node, m) AS (
               SELECT doc_id, doc_id FROM documents
               UNION
@@ -1315,27 +1388,46 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
             FROM documents
         """,
-        "j7_canonical_mapping": """
-            WITH RECURSIVE
-            e(a, b) AS (VALUES ('OP:0001', 'xref:XOP:SCAN'), ('OP:0002', 'xref:XOP:JOIN'), ('OP:0003', 'xref:XOP:AGG'), ('OP:0004', 'xref:XOP:STREAM'), ('OP:0005', 'xref:XOP:SORT'), ('OP:0005', 'xref:XOP:JOIN')),
-            bi AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-            t(term_id) AS (VALUES ('OP:0001'), ('OP:0002'), ('OP:0003'), ('OP:0004'), ('OP:0005')),
-            reach(node, m) AS (
-              SELECT a, a FROM (SELECT a FROM bi UNION SELECT b FROM bi)
-              UNION
-              SELECT bi.a, r.m FROM reach r JOIN bi ON bi.b = r.node
+        "j7_canonical_mapping": (
+            f"WITH RECURSIVE {_CANON_CTES} "
+            "SELECT term_id, canonical_id FROM canon_map"
+        ),
+        "kg_exact_winner": f"""
+            WITH RECURSIVE {_CANON_CTES},
+            ex_hits AS (
+              SELECT DISTINCT d.doc_id, dic.term_id
+              FROM documents d, {_exact_dict_values_sql()}
+              WHERE contains(lower(d.text), dic.surface)
             ),
-            comp AS (SELECT node, min(m) AS c FROM reach GROUP BY node),
-            canon AS (
-              SELECT comp.c, min(t.term_id) AS canonical_id
-              FROM comp JOIN t ON t.term_id = comp.node
-              GROUP BY comp.c
+            one_exact AS (
+              SELECT doc_id, min(term_id) AS term_id
+              FROM ex_hits GROUP BY doc_id HAVING count(*) = 1
+            ),
+            -- the winner's reported mention: longest surface of the term
+            -- present in the page (ties → lexicographically smallest),
+            -- over the FULL surface dict (broad synonyms included)
+            all_hits AS (
+              SELECT d.doc_id, dic.term_id, dic.surface
+              FROM documents d, {_dict_values_sql()}
+              WHERE contains(lower(d.text), dic.surface)
+            ),
+            mention_pick AS (
+              SELECT doc_id, term_id, surface AS mention FROM (
+                SELECT a.doc_id, a.term_id, a.surface,
+                       row_number() OVER (
+                         PARTITION BY a.doc_id, a.term_id
+                         ORDER BY length(a.surface) DESC, a.surface ASC
+                       ) AS rn
+                FROM all_hits a
+              ) WHERE rn = 1
             )
-            SELECT t.term_id,
-                   coalesce(canon.canonical_id, t.term_id) AS canonical_id
-            FROM t
-            LEFT JOIN comp ON comp.node = t.term_id
-            LEFT JOIN canon ON canon.c = comp.c
+            SELECT 'doc://' || o.doc_id AS subj,
+                   split_part(cm.canonical_id, ':', 1) || ':mapped_to' AS pred,
+                   cm.canonical_id AS obj,
+                   m.mention
+            FROM one_exact o
+            JOIN canon_map cm ON cm.term_id = o.term_id
+            JOIN mention_pick m ON m.doc_id = o.doc_id AND m.term_id = o.term_id
         """,
         "kg_mention_recall": f"""
             SELECT d.doc_id, dic.term_id, count(*) AS n_surfaces

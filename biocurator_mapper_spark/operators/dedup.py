@@ -85,21 +85,27 @@ def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --------------------------------------------------------------- n-gram Jaccard
 
 
+DEFAULT_MAX_SHINGLE_DF = 256
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
 
-    Plan: explode distinct shingles → (optionally drop shingles whose doc
-    frequency exceeds ``max_shingle_df`` — hub shingles contribute O(df²)
-    candidate pairs and little signal) → self-join on shingle → count
-    intersections → join per-doc sizes → Jaccard filter. Intersection
-    counting is a hash aggregate with map-side partial combine.
+    Plan: explode distinct shingles → drop shingles whose doc frequency
+    exceeds ``max_shingle_df`` (hub shingles contribute O(df²) candidate
+    pairs and little signal; on a web corpus one boilerplate shingle can be
+    millions-deep, so the cap is ON by default — pass None to disable) →
+    self-join on shingle → count intersections → join per-doc sizes →
+    Jaccard filter. Intersection counting is a hash aggregate with
+    map-side partial combine. Prefer ``minhash_lsh_pairs`` when the corpus
+    is large enough that even capped exact intersection counting is wide.
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
@@ -245,25 +251,31 @@ def dedup_clusters(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
-    """Duplicate-cluster assignment: near-dup pairs (n-gram Jaccard ≥
-    threshold) → connected components → every doc mapped to its cluster
-    representative (min id). The standard dedup-keep-one step of a
-    training-data pipeline: filter ``is_duplicate`` to drop non-representatives.
+    """Duplicate-cluster assignment: near-dup pairs (MinHash-LSH candidates
+    verified at exact Jaccard ≥ threshold) → connected components → every
+    doc mapped to its cluster representative (min id). The standard
+    dedup-keep-one step of a training-data pipeline: filter
+    ``is_duplicate`` to drop non-representatives.
+
+    Pair generation is the LSH path (banded buckets, no all-pairs-on-shared-
+    shingle join) — the 100 TB-safe default; raise ``bands`` to trade
+    compute for recall near the threshold.
 
     NOT a pure plan builder: connected components is iterative, so calling
     this runs jobs. Integer ids must be non-negative (representatives are
     chosen by order-preserving zero-padding; negative values would compare
-    wrongly). ``max_shingle_df`` forwards the hub-shingle cap — set it on
-    corpora with common shingles to bound the O(df²) candidate join.
+    wrongly).
     """
     from pyspark.sql.types import IntegralType
 
     from .canonicalize import connected_components
 
-    pairs = ngram_jaccard_pairs(
-        df, id_col, text_col, n=n, threshold=threshold, max_shingle_df=max_shingle_df
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
     ).cache()  # CC consumes the pairs 2-3× (count + collect/iterations)
     id_type = df.schema[id_col].dataType
     if isinstance(id_type, IntegralType):
