@@ -378,7 +378,17 @@ class TriplesPipeline:
         run_fingerprint: str,
         k: int = DEFAULT_K,
     ) -> DataFrame:
+        """ONE corpus pass: rows-in/rows-out come from ``Observation``
+        metrics attached to the write job (no bookkeeping scans), the
+        bucket domain is static (buckets are ``pmod(xxhash64(url), n)``, so
+        it is ``range(n_buckets)`` by construction), and the run publishes
+        a fresh immutable snapshot whose pointer flips atomically — a
+        concurrent reader sees the old snapshot or the new one, never a
+        mix (the reference's pointer-swap semantics,
+        ``app/config_updater.py:84-93``, at table granularity)."""
         import time
+
+        from pyspark.sql import Observation
 
         spark = pages.sparkSession
         t0 = time.monotonic()
@@ -405,14 +415,17 @@ class TriplesPipeline:
             ]
         todo = pages_b.where(~F.col("part_bucket").isin(done)) if done else pages_b
 
-        data_dir = os.path.join(self.catalog._table_dir("triples"), "data")
-        n_in = todo.count()
         triples_schema = None
-        if n_in > 0:
+        n_in = n_out = 0
+        # driver-side gate — every bucket committed means a full resume;
+        # no count()/isEmpty() scan needed to decide
+        if len(set(done)) < self.n_buckets:
             # term vectors go through the cross-run embedding cache (M2):
             # a re-run with an unchanged ontology embeds nothing
             from .model_client import embed_with_cache
 
+            obs_in = Observation(f"triples_in_{run_id}")
+            todo = todo.observe(obs_in, F.count(F.lit(1)).alias("n"))
             term_vecs = embed_with_cache(
                 terms.select("term_id", "searchable_text"),
                 "searchable_text",
@@ -426,33 +439,24 @@ class TriplesPipeline:
                 term_vecs=term_vecs,
             )
             triples_schema = triples.schema
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            obs_out = Observation(f"triples_out_{run_id}")
+            triples = triples.observe(obs_out, F.count(F.lit(1)).alias("n"))
+            run_dir = os.path.join(
+                self.catalog._table_dir("triples"), "runs", f"r_{run_id}"
+            )
             triples.write.mode("overwrite").partitionBy("part_bucket").parquet(
-                data_dir
+                run_dir
             )
-            self._ensure_pointer()
-            # per-RUN output: only the buckets this run (re)wrote — an
-            # all-table count would blame prior runs' rows on this one
-            run_buckets = [
-                r.part_bucket
-                for r in todo.select("part_bucket").distinct().collect()
-            ]
-            n_out = (
-                self._read_triples(spark, triples_schema)
-                .where(F.col("part_bucket").isin(run_buckets))
-                .count()
-            )
-        else:
-            n_out = 0
+            # observation results are available once the write job finishes
+            n_in = int(obs_in.get["n"])
+            n_out = int(obs_out.get["n"])
+            self._publish_snapshot(run_id, done)
 
         elapsed = time.monotonic() - t0
-        all_buckets = [
-            r.part_bucket
-            for r in pages_b.select("part_bucket").distinct().collect()
-        ]
         ckpt_rows = [
             (run_id, run_fingerprint, "triples", int(b), "committed")
-            for b in all_buckets
+            for b in range(self.n_buckets)
+            if b not in set(done)
         ]
         if ckpt_rows:
             self.catalog.append(
@@ -476,32 +480,84 @@ class TriplesPipeline:
         )
         return self._read_triples(spark, triples_schema)
 
-    def _data_dir(self) -> str:
-        return os.path.join(self.catalog._table_dir("triples"), "data")
-
-    def _ensure_pointer(self) -> None:
-        """Register the in-place bucket-overwrite directory with the
-        catalog pointer so catalog.read('triples') resolves. Isolation is
-        bucket-level here (dynamic overwrite replaces whole buckets
-        atomically at the file level); full snapshot isolation would need
-        the Iceberg backend."""
+    def _publish_snapshot(self, run_id: str, done: list[int]) -> None:
+        """Immutable-snapshot publish (Iceberg-manifest semantics over a
+        plain filesystem): the new snapshot directory holds one symlink per
+        bucket — freshly written buckets point into this run's ``runs/r_*``
+        output; resumed (``done``) buckets point at the SAME immutable
+        bucket dirs the previous snapshot referenced. Run outputs are never
+        modified after being written, so a reader that resolved the old
+        pointer keeps a consistent view while (and after) the new pointer
+        lands via the atomic ``os.replace`` swap. A recomputed bucket that
+        yields zero rows simply has no entry — stale rows from earlier runs
+        of a DIFFERENT input can't leak into this snapshot."""
         import json
 
         tdir = self.catalog._table_dir("triples")
-        os.makedirs(tdir, exist_ok=True)
+        run_dir = os.path.join(tdir, "runs", f"r_{run_id}")
+        snap_dir = os.path.join(tdir, f"v_{run_id}")
+        os.makedirs(snap_dir, exist_ok=True)
+        targets: dict[str, str] = {}
+        prev = self.catalog.current_version("triples")
+        if prev is not None and done:
+            prev_dir = os.path.join(tdir, prev)
+            done_names = {f"part_bucket={int(b)}" for b in done}
+            for name in os.listdir(prev_dir) if os.path.isdir(prev_dir) else []:
+                if name in done_names:
+                    targets[name] = os.path.realpath(os.path.join(prev_dir, name))
+        if os.path.isdir(run_dir):
+            for name in os.listdir(run_dir):
+                if name.startswith("part_bucket="):
+                    targets[name] = os.path.join(run_dir, name)
+        for name, target in targets.items():
+            os.symlink(target, os.path.join(snap_dir, name))
         pointer = self.catalog._pointer_path("triples")
-        if not os.path.exists(pointer):
-            tmp = pointer + f".tmp.{uuid.uuid4().hex[:6]}"
-            with open(tmp, "w") as f:
-                json.dump({"version": "data"}, f)
-            os.replace(tmp, pointer)
+        tmp = pointer + f".tmp.{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            json.dump({"version": f"v_{run_id}"}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, pointer)
+
+    def vacuum(self) -> list[str]:
+        """Delete run directories no longer referenced by the live snapshot
+        (and snapshots other than the live one). Returns removed paths."""
+        import shutil
+
+        tdir = self.catalog._table_dir("triples")
+        live = self.catalog.current_version("triples")
+        if live is None:
+            return []
+        live_dir = os.path.join(tdir, live)
+        referenced = {
+            os.path.realpath(os.path.join(live_dir, n))
+            for n in os.listdir(live_dir)
+        }
+        removed = []
+        runs_dir = os.path.join(tdir, "runs")
+        if os.path.isdir(runs_dir):
+            for r in os.listdir(runs_dir):
+                rdir = os.path.join(runs_dir, r)
+                kept = any(
+                    os.path.realpath(os.path.join(rdir, n)) in referenced
+                    for n in os.listdir(rdir)
+                    if n.startswith("part_bucket=")
+                )
+                if not kept:
+                    shutil.rmtree(rdir)
+                    removed.append(rdir)
+        for name in os.listdir(tdir):
+            if name.startswith("v_") and name != live:
+                shutil.rmtree(os.path.join(tdir, name))
+                removed.append(os.path.join(tdir, name))
+        return removed
 
     def _read_triples(self, spark, schema=None) -> DataFrame:
-        """Read the triples table, tolerating the empty case (a partitioned
-        overwrite of 0 rows writes no parquet files → schema inference
-        fails; an explicit schema or an empty DataFrame covers it)."""
+        """Read the live snapshot, tolerating the empty case (a snapshot of
+        0 rows holds no bucket symlinks → schema inference fails; an
+        explicit schema or an empty DataFrame covers it)."""
         try:
-            return spark.read.parquet(self._data_dir())
+            return self.catalog.read("triples")
         except Exception:
             if schema is not None:
                 return spark.createDataFrame([], schema)

@@ -97,3 +97,62 @@ def test_metrics_rows_emitted(spark, terms, tmp_path):
     assert len(m) == 1
     assert m[0].rows_in == 14  # 10 + 4 edge rows
     assert m[0].rows_per_s > 0
+
+def test_snapshot_isolation_concurrent_reader(spark, terms, tmp_path):
+    """A reader holding the previous snapshot keeps a consistent view while
+    a new run publishes: old-or-new, never a mix (Iceberg-pointer semantics
+    over the parquet catalog)."""
+    import os
+
+    catalog = ParquetCatalog(spark, str(tmp_path / "wh3"))
+    pipe = TriplesPipeline(catalog, n_buckets=2)
+
+    pipe.run(pages_dataframe(spark, SURFACES, n_pages=8, seed=1), terms, "fpA")
+    v1 = catalog.current_version("triples")
+    v1_dir = os.path.join(catalog._table_dir("triples"), v1)
+    reader_v1 = spark.read.parquet(v1_dir)  # reader resolved the old pointer
+    rows_before = {r.subj for r in reader_v1.collect()}
+
+    # a different input publishes a NEW snapshot
+    pipe.run(pages_dataframe(spark, SURFACES, n_pages=20, seed=9), terms, "fpB")
+    v2 = catalog.current_version("triples")
+    assert v2 != v1
+
+    # the old snapshot still reads exactly its original content
+    rows_after = {r.subj for r in spark.read.parquet(v1_dir).collect()}
+    assert rows_after == rows_before
+    # and the pointer read resolves to the complete new snapshot only
+    new_rows = {r.subj for r in catalog.read("triples").collect()}
+    assert new_rows != rows_before
+
+
+def test_snapshot_resume_reuses_prior_buckets_and_vacuum(spark, terms, tmp_path):
+    import os
+
+    catalog = ParquetCatalog(spark, str(tmp_path / "wh4"))
+    pipe = TriplesPipeline(catalog, n_buckets=4)
+    pages = pages_dataframe(spark, SURFACES, n_pages=30, seed=5)
+
+    out1 = pipe.run(pages, terms, "fpC")
+    n1 = out1.count()
+
+    # mark two buckets as NOT done by rewriting the checkpoint log filter:
+    # simplest honest simulation — a fresh fingerprint resumes nothing,
+    # same fingerprint resumes everything; partial resume is exercised by
+    # deleting half the checkpoint rows
+    log_dir = os.path.join(catalog._table_dir("_checkpoints"), "log")
+    ck = spark.read.parquet(log_dir).where(F.col("part_bucket") < 2)
+    ck.write.mode("overwrite").parquet(log_dir + "_half")
+    import shutil
+
+    shutil.rmtree(log_dir)
+    os.replace(log_dir + "_half", log_dir)
+
+    out2 = pipe.run(pages, terms, "fpC")  # buckets 2,3 recomputed; 0,1 reused
+    assert out2.count() == n1
+    m = catalog.read_log("_metrics").orderBy("ts").collect()
+    assert 0 < m[-1].rows_in < m[0].rows_in  # partial work only
+
+    removed = pipe.vacuum()
+    assert removed  # the superseded snapshot/run dirs are gone
+    assert catalog.read("triples").count() == n1  # live snapshot intact
