@@ -856,10 +856,12 @@ parsed AS (
       -- definition xrefs: kept verbatim incl. empties (reference extend())
       list_transform(range(coalesce(json_array_length(nd, '$.meta.definition.xrefs'), 0)::BIGINT),
         k -> json_extract_string(nd, '$.meta.definition.xrefs[' || k || ']')),
-      -- meta xrefs: struct form, non-empty vals
+      -- meta xrefs: struct OR bare-string form, non-empty
       list_filter(
         list_transform(range(coalesce(json_array_length(nd, '$.meta.xrefs'), 0)::BIGINT),
-          k -> json_extract_string(nd, '$.meta.xrefs[' || k || '].val')),
+          k -> CASE WHEN json_type(nd, '$.meta.xrefs[' || k || ']') = 'VARCHAR'
+                THEN json_extract_string(nd, '$.meta.xrefs[' || k || ']')
+                ELSE json_extract_string(nd, '$.meta.xrefs[' || k || '].val') END),
         v -> v IS NOT NULL AND v <> '')),
       -- basicPropertyValues with hasDbXref in pred, non-empty vals
       list_filter(

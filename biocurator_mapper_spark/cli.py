@@ -152,7 +152,11 @@ def main(argv: list[str] | None = None) -> int:
 
     e = sub.add_parser("embed", help="terms → cached embedding table")
     e.add_argument("--ontology", default="doid")
-    e.add_argument("--apply-filters", action="store_true", default=True)
+    # BooleanOptionalAction: store_true+default=True made the flag a no-op
+    # (quality filters could never be disabled from the CLI)
+    e.add_argument(
+        "--apply-filters", action=argparse.BooleanOptionalAction, default=True
+    )
     e.set_defaults(fn=cmd_embed)
 
     t = sub.add_parser("triples", help="pages parquet → triples table")

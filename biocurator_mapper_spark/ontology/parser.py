@@ -31,12 +31,19 @@ OBO_NAMESPACE_PRED = "http://www.geneontology.org/formats/oboInOwl#hasOBONamespa
 DEFAULT_ID_FORMAT: dict[str, str] = {"_": ":"}
 
 
-def nodes_from_obo_graph(obo_df: DataFrame) -> DataFrame:
+def nodes_from_obo_graph(obo_df: DataFrame, config=None) -> DataFrame:
     """graphs[0].nodes → one row per node (reference go_parser.py:149-156).
 
     Only the first graph is read, matching the reference. The explode is
     narrow (no shuffle); at scale each input JSON document expands in place.
+    A non-default ``OntologyJsonConfig`` (the reference's
+    ``ontology_config.yaml`` json_parsing keys) is normalized to the
+    canonical node struct here, so the parse stage is key-agnostic.
     """
+    if config is not None and not config.is_default:
+        from ..sources.obo_json import normalize_nodes
+
+        return normalize_nodes(obo_df, config)
     return obo_df.select(
         F.explode(F.try_element_at(F.col("graphs"), F.lit(1))["nodes"]).alias("node")
     )
@@ -92,15 +99,18 @@ def parse_terms(
     def_xrefs = F.coalesce(
         n["meta"]["definition"]["xrefs"], F.array().cast("array<string>")
     )
-    meta_xrefs = F.transform(
-        F.filter(
-            F.coalesce(
-                n["meta"]["xrefs"],
-                F.array().cast("array<struct<val:string>>"),
-            ),
-            lambda x: x["val"].isNotNull() & (x["val"] != ""),
+    # meta.xrefs: mixed struct/bare-string form (go_parser.py:55-65) — the
+    # schema captures both as strings ('{"val": ...}' JSON text vs verbatim);
+    # normalize per element, then drop empties.
+    meta_xrefs = F.filter(
+        F.transform(
+            F.coalesce(n["meta"]["xrefs"], F.array().cast("array<string>")),
+            lambda x: F.when(
+                F.startswith(F.trim(x), F.lit("{")),
+                F.from_json(x, "val string")["val"],
+            ).otherwise(x),
         ),
-        lambda x: x["val"],
+        lambda v: v.isNotNull() & (v != ""),
     )
     dbxrefs = F.transform(
         F.filter(

@@ -48,12 +48,12 @@ META_SCHEMA = StructType(
             ),
         ),
         StructField("synonyms", ArrayType(SYNONYM_SCHEMA)),
-        # meta.xrefs[]: {val} (struct form; bare-string form is normalized by
-        # the loader before parse).
-        StructField(
-            "xrefs",
-            ArrayType(StructType([StructField("val", StringType())])),
-        ),
+        # meta.xrefs[]: the wild holds BOTH {"val": "X"} structs and bare
+        # "X" strings (reference go_parser.py:55-65 handles both). Declared
+        # array<string> so Spark's JSON reader keeps struct elements as raw
+        # JSON text and bare strings as-is; parse_terms normalizes per
+        # element (from_json for '{'-prefixed, verbatim otherwise).
+        StructField("xrefs", ArrayType(StringType())),
         StructField("basicPropertyValues", ArrayType(BPV_SCHEMA)),
         StructField("deprecated", StringType()),
     ]

@@ -76,8 +76,13 @@ class RetryingEmbedder:
         base_delay: float = 0.1,
         max_delay: float = 60.0,
         rate_limit_delay: float = 0.0,
+        provider_fn: Callable[[list[str]], list[list[float]]] | None = None,
     ):
         self.provider = provider
+        # dynamically registered providers live in the DRIVER's registry;
+        # executors run forked workers with a fresh module, so the resolved
+        # callable must travel in the closure (provider_fn), not by name
+        self.provider_fn = provider_fn
         self.max_retries = max_retries
         self.base_delay = base_delay
         self.max_delay = max_delay
@@ -86,7 +91,7 @@ class RetryingEmbedder:
         self.retry_count = 0
 
     def __call__(self, texts: list[str]) -> list[list[float]]:
-        fn = EMBED_PROVIDERS[self.provider]
+        fn = self.provider_fn or EMBED_PROVIDERS[self.provider]
         if self.rate_limit_delay > 0:
             wait = self._last_call + self.rate_limit_delay - time.monotonic()
             if wait > 0:
@@ -147,7 +152,9 @@ def embed_with_cache(
     cache = catalog.read_log(cache_table) if catalog is not None else None
 
     if cache is not None:
-        cache = cache.select(
+        # cache key is (text_hash, model): vectors embedded by a different
+        # provider must never be served for the same text
+        cache = cache.where(F.col("model") == provider).select(
             F.col("text_hash").alias("_text_hash"),
             F.col("embedding").alias("_cached_vec"),
         ).dropDuplicates(["_text_hash"])
@@ -162,8 +169,10 @@ def embed_with_cache(
         [StructField("_text_hash", StringType()), *EMBED_RESULT_SCHEMA_FIELDS]
     )
 
+    provider_fn = EMBED_PROVIDERS[provider]  # resolve driver-side (see init)
+
     def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        embedder = RetryingEmbedder(provider=provider)
+        embedder = RetryingEmbedder(provider=provider, provider_fn=provider_fn)
         for pdf in batches:
             texts = ["" if t is None else t for t in pdf[text_col]]
             vecs = embedder(texts)
@@ -197,6 +206,7 @@ def embed_with_cache(
         # second provider invocation
         fresh = (
             catalog.read_log(cache_table)
+            .where(F.col("model") == provider)
             .select(F.col("text_hash").alias("_text_hash"), "embedding")
             .dropDuplicates(["_text_hash"])
         )

@@ -448,8 +448,16 @@ class TriplesPipeline:
                 run_dir
             )
             # observation results are available once the write job finishes
-            n_in = int(obs_in.get["n"])
             n_out = int(obs_out.get["n"])
+            try:
+                n_in = int(obs_in.get["n"])
+            except Exception:
+                # AQE's empty-relation propagation removes the input-side
+                # CollectMetrics node when ZERO candidates reach the
+                # shuffle (the whole run produced nothing). Only in that
+                # degenerate case is an explicit count needed for the
+                # metrics row — the normal path never rescans.
+                n_in = todo.count()
             self._publish_snapshot(run_id, done)
 
         elapsed = time.monotonic() - t0

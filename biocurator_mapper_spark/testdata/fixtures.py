@@ -30,14 +30,16 @@ def _node(
     namespace: str | None = None,
     dbxrefs: list[str] | None = None,
     deprecated: bool = False,
+    bare_xrefs: list[str] | None = None,
 ) -> dict:
     meta: dict = {}
     if definition is not None:
         meta["definition"] = {"val": definition, "xrefs": def_xrefs or []}
     if synonyms:
         meta["synonyms"] = synonyms
-    if xrefs is not None:
-        meta["xrefs"] = [{"val": x} for x in xrefs]
+    if xrefs is not None or bare_xrefs:
+        # the wild mixes struct and bare-string xrefs (go_parser.py:55-65)
+        meta["xrefs"] = [{"val": x} for x in (xrefs or [])] + list(bare_xrefs or [])
     bpv = []
     if namespace is not None:
         bpv.append({"pred": NS_PRED, "val": namespace})
@@ -215,6 +217,9 @@ def edge_case_obo_graph() -> dict:
                 _syn("hasExactSynonym", "known alias"),
                 _syn("hasRelatedSynonym", "known alias"),  # duplicate kept in all_synonyms
             ],
+            # struct- and string-form xrefs mixed in one node
+            xrefs=["MESH:D111111"],
+            bare_xrefs=["ICD10CM:B99", ""],  # empty bare string is dropped
             namespace="disease_ontology",
         ),
         _node(

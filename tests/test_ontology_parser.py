@@ -76,6 +76,13 @@ def test_cross_references_union(terms):
     assert r.cross_references[0].startswith("url:")
 
 
+def test_mixed_form_meta_xrefs(terms):
+    # struct xrefs and bare-string xrefs coexist in one node; empties drop
+    # (reference go_parser.py:55-65 handles both forms)
+    r = _row(terms, "DOID:0000004")
+    assert r.cross_references == ["MESH:D111111", "ICD10CM:B99"]
+
+
 def test_namespace_extraction(terms):
     assert _row(terms, "GO:0000001").namespace == "biological_process"
     assert _row(terms, "GO:0000006").namespace == "molecular_function"
@@ -145,3 +152,55 @@ def test_embed_text_composition(terms):
     ).collect()[0]
     assert out.embed_text.startswith("Name: angiosarcoma | Definition: ")
     assert "Synonyms: exact: hemangiosarcoma" in out.embed_text
+
+
+def test_config_driven_ingest_renamed_keys(spark):
+    """A non-OBO-shaped ontology (renamed graphs/nodes/id/label keys and a
+    custom definition path) parses via OntologyJsonConfig with no code
+    changes — the reference's ontology_config.yaml json_parsing contract."""
+    from biocurator_mapper_spark.ontology import nodes_from_obo_graph, parse_terms
+    from biocurator_mapper_spark.sources.obo_json import (
+        OntologyJsonConfig,
+        obo_graph_from_dict,
+    )
+
+    cfg = OntologyJsonConfig.from_dict(
+        {
+            "graphs_key": "ontologies",
+            "nodes_key": "records",
+            "id_key": "identifier",
+            "label_key": "title",
+            "definition_path": ["meta", "descr"],
+        }
+    )
+    doc = {
+        "ontologies": [
+            {
+                "id": "custom",
+                "records": [
+                    {
+                        "identifier": "http://example.org/XO_0000001",
+                        "title": "custom shaped term",
+                        "meta": {
+                            "descr": "A term from a non-OBO-shaped ontology.",
+                            "synonyms": [
+                                {"pred": "hasExactSynonym", "val": "renamed term"}
+                            ],
+                            "xrefs": [{"val": "MESH:D1"}, "BARE:2"],
+                        },
+                    },
+                    {"title": "dropped, no identifier", "meta": {}},
+                ],
+            }
+        ]
+    }
+    terms = parse_terms(nodes_from_obo_graph(obo_graph_from_dict(spark, doc, cfg), cfg))
+    rows = terms.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.term_id == "XO:0000001"
+    assert r.name == "custom shaped term"
+    assert r.definition == "A term from a non-OBO-shaped ontology."
+    assert r.exact_synonyms == ["renamed term"]
+    assert r.cross_references == ["MESH:D1", "BARE:2"]
+    assert "renamed term" in r.searchable_text
