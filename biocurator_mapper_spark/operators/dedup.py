@@ -111,6 +111,15 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
     )
+    # Two birds with one round-robin shuffle of the shingle rows: (1) an
+    # under-partitioned source (one parquet split) would evaluate the
+    # shingle HOFs single-threaded; (2) this plan consumes `sh` from four
+    # subtrees (a/b/sizes/hot) — the exchange becomes a ReusedExchange
+    # point, so the shingle expressions run ONCE instead of per consumer.
+    spark = df.sparkSession
+    default_p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(default_p // 2, 1):
+        sh = sh.repartition(default_p)
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")).where(
             F.col("_df") > max_shingle_df

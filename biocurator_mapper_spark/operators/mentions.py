@@ -125,6 +125,17 @@ def build_surface_map(terms: DataFrame, include_name: bool = True) -> DataFrame:
     )
 
 
+try:  # optional C fast path — not in every container; semantics identical
+    import ahocorasick as _pyahocorasick  # type: ignore
+except ImportError:  # pragma: no cover - depends on environment
+    _pyahocorasick = None
+
+# per-worker automaton cache (broadcast id → compiled C automaton): the C
+# automaton is rebuilt once per worker from the broadcast pattern list
+# instead of being pickled through the broadcast itself
+_C_AUTOMATON_CACHE: dict[int, object] = {}
+
+
 def with_mentions(
     pages: DataFrame,
     surfaces: list[str],
@@ -134,9 +145,38 @@ def with_mentions(
     """+ mentions: array<string> of distinct dictionary surfaces in the text.
 
     The automaton is broadcast once per job; the scan is an Arrow-batched
-    pandas UDF (narrow — scales with input splits, zero shuffle).
+    pandas UDF (narrow — scales with input splits, zero shuffle). When the
+    optional ``pyahocorasick`` C extension is importable the scan uses it
+    (several-fold faster on long pages); the pure-Python automaton is the
+    no-C-deps fallback with identical match semantics.
     """
     spark = pages.sparkSession
+    if _pyahocorasick is not None:
+        patterns = sorted({p.lower() for p in surfaces if p})
+        bc_pat = spark.sparkContext.broadcast(patterns)
+        bid = bc_pat.id
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def _scan(texts: pd.Series) -> pd.Series:
+            import ahocorasick
+
+            auto = _C_AUTOMATON_CACHE.get(bid)
+            if auto is None:
+                auto = ahocorasick.Automaton()
+                for p in bc_pat.value:
+                    auto.add_word(p, p)
+                auto.make_automaton()
+                _C_AUTOMATON_CACHE[bid] = auto
+
+            def find(t):
+                if not t:
+                    return []
+                return sorted({v for _, v in auto.iter(t.lower())})
+
+            return texts.map(find)
+
+        return pages.withColumn(out_col, _scan(F.col(text_col)))
+
     ac = AhoCorasick(surfaces)
     bc = spark.sparkContext.broadcast(ac)
 

@@ -218,3 +218,32 @@ def test_hash_embed_deterministic_and_word_sensitive():
     cos_ao = float(np.dot(a, overlap))
     assert cos_ao > cos_ac  # shared words → higher similarity
     assert hash_embed_py("") == [0.0] * 64
+
+
+def test_pyahocorasick_fast_path_parity(spark):
+    """When the optional C extension is present, its matches must equal the
+    pure-Python automaton's (skipped where the lib isn't installed)."""
+    import pytest
+
+    pytest.importorskip("ahocorasick")
+    from biocurator_mapper_spark.operators import mentions as M
+
+    pages = spark.createDataFrame(
+        [(1, "the Hash Join and table scan overlap"), (2, ""), (3, None)],
+        "doc_id int, extracted_text string",
+    )
+    surfaces = ["hash join", "table scan", "scan over"]
+    fast = {
+        (r.doc_id, tuple(r.mentions))
+        for r in M.with_mentions(pages, surfaces).collect()
+    }
+    saved = M._pyahocorasick
+    try:
+        M._pyahocorasick = None  # force the pure-Python path
+        slow = {
+            (r.doc_id, tuple(r.mentions))
+            for r in M.with_mentions(pages, surfaces).collect()
+        }
+    finally:
+        M._pyahocorasick = saved
+    assert fast == slow
