@@ -110,3 +110,20 @@ class OntologyVersionGate:
             self.versions_table,
         )
         return self.catalog.read(self.terms_table), True
+
+
+def enabled_ontologies(config: dict) -> list[str]:
+    """Names of configured ontologies with enabled=true (F9; the reference
+    filters its ontology registry the same way, app/main.py:367-371 and
+    app/config.py:32-33 — absent flag defaults to enabled)."""
+    return sorted(
+        name for name, c in config.items() if (c or {}).get("enabled", True)
+    )
+
+
+def filter_enabled_terms(terms: DataFrame, config: dict) -> DataFrame:
+    """Keep only terms whose CURIE prefix belongs to an enabled ontology —
+    the F9 gate applied to the terms relation (a broadcast-friendly isin
+    over the dimension table; Catalyst folds the literal list)."""
+    names = enabled_ontologies(config)
+    return terms.where(F.split(F.col("term_id"), ":").getItem(0).isin(names))

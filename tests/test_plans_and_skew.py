@@ -80,3 +80,33 @@ def test_salted_join_matches_plain_join(spark):
         (r.key, r.payload, r.dim) for r in big.join(small, "key").collect()
     )
     assert got == want
+
+
+def test_ivf_plan_has_no_global_sort(spark):
+    """The IVF training sample is a hash filter, not orderBy().limit(): no
+    rangepartitioning/Sort over the corpus anywhere in the top-k plan."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.operators.similarity import ivf_topk
+    from biocurator_mapper_spark.plans.inspect import _plan_string, exchanges
+
+    rng = np.random.default_rng(2)
+    rows = [(f"v{i}", [float(x) for x in rng.standard_normal(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vid string, vec array<float>")
+    q = emb.limit(5).select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("q_embedding")
+    )
+    c = emb.select(
+        F.col("vid").alias("corpus_id"), F.col("vec").alias("c_embedding")
+    )
+    out = ivf_topk(q, c, dim=8, k=3, n_centroids=4, nprobe=2)
+    plan = _plan_string(out)
+    # no range partitioning (the physical footprint of a global orderBy)
+    assert "rangepartitioning" not in plan.lower()
+    for e in exchanges(out):
+        # SinglePartition comes from this test's own limit(5) on the
+        # bounded query side; the corpus side must shuffle by hash only
+        assert (
+            "RoundRobin" in e or "hashpartitioning" in e or "SinglePartition" in e
+        ), e

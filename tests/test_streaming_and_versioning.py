@@ -153,3 +153,25 @@ def test_version_info_and_gate(spark, tmp_path):
     t3, rebuilt3 = gate.ensure(obo2, build)
     assert rebuilt3 and builds["n"] == 2
     assert t3.count() == 8
+
+
+def test_enabled_ontology_filter(spark):
+    """F9: disabled ontologies drop out of the term relation; the absent
+    flag defaults to enabled (reference app/main.py:367-371)."""
+    from biocurator_mapper_spark.ontology.version import (
+        enabled_ontologies,
+        filter_enabled_terms,
+    )
+
+    config = {
+        "GO": {"name": "Gene Ontology", "enabled": True},
+        "DOID": {"name": "Disease Ontology", "enabled": False},
+        "CHEBI": {"name": "ChEBI"},  # flag absent → enabled
+    }
+    assert enabled_ontologies(config) == ["CHEBI", "GO"]
+    terms = spark.createDataFrame(
+        [("GO:1", "a"), ("DOID:2", "b"), ("CHEBI:3", "c")],
+        "term_id string, name string",
+    )
+    kept = {r.term_id for r in filter_enabled_terms(terms, config).collect()}
+    assert kept == {"GO:1", "CHEBI:3"}
