@@ -555,6 +555,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cosine", "certainty",
         )
 
+    def emb_near_dup_pairs(spark, sf_dir):
+        # LSH-bucketed embedding near-dup self-join (the scale path whose
+        # exact-slice twin is emb_cosine_pairs_exact) — bucket generation
+        # is integer-exact, so the DuckDB oracle replicates it fully
+        from biocurator_mapper_spark.operators.similarity import (
+            embedding_cosine_pairs,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_cosine_pairs(
+            emb, "vec_id", "embedding", dim=64, threshold=0.4,
+            n_planes=6, n_tables=6, seed=11,
+        )
+
     def text_simhash(spark, sf_dir):
         from biocurator_mapper_spark.operators.dedup import simhash_expr
 
@@ -672,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
         "text_ngram_freq": text_ngram_freq,
+        "emb_near_dup_pairs": emb_near_dup_pairs,
         "dedup_simhash": dedup_simhash,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
         "sim_ann_ivf_topk": sim_ann_ivf_topk,
@@ -955,13 +970,13 @@ _QUANT_SQL = "list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)::BIGI
 _ORACLE_SF_DIR_ENV = "SPARK_GRAFT_ORACLE_SF_DIR"
 
 
-def _lsh_topk_sql(
-    dim: int = 64, k: int = 5, n_planes: int = 6, n_tables: int = 8, seed: int = 7
-) -> str:
-    """SQL mirror of operators/similarity.py::lsh_topk: the seeded ±1 sign
-    matrix is inlined as a VALUES table; signatures are integer dot-product
-    signs over floor(x*1000+0.5)-quantized vectors (exact in any engine);
-    candidates join on bucket; exact cosine re-scores; window keeps k."""
+def _lsh_planes_sql(
+    dim: int, n_planes: int, n_tables: int, seed: int
+) -> tuple[str, str]:
+    """(VALUES rows for the seeded ±1 sign matrix, per-(row,table) bucket
+    aggregate expression) — shared by every LSH oracle. Signatures are
+    integer dot-product signs over floor(x*1000+0.5)-quantized vectors,
+    exact in any engine."""
     from biocurator_mapper_spark.operators.similarity import plane_signs
 
     signs = plane_signs(dim, n_planes, n_tables, seed)
@@ -974,6 +989,15 @@ def _lsh_topk_sql(
         f"sum(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), i -> q[i] * s[i])) > 0"
         f" THEN (1::BIGINT << p) ELSE 0 END)::BIGINT + t * {1 << n_planes}"
     )
+    return vals, sig
+
+
+def _lsh_topk_sql(
+    dim: int = 64, k: int = 5, n_planes: int = 6, n_tables: int = 8, seed: int = 7
+) -> str:
+    """SQL mirror of operators/similarity.py::lsh_topk: bucketed candidate
+    join, exact cosine re-score, window keeps k."""
+    vals, sig = _lsh_planes_sql(dim, n_planes, n_tables, seed)
     return f"""
 WITH planes(t, p, s) AS (VALUES
   {vals}
@@ -999,6 +1023,36 @@ ranked AS (
 SELECT query_id, corpus_id, rank, cosine,
        (1.0::DOUBLE + cosine) / 2.0::DOUBLE AS certainty
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _emb_near_dup_sql(
+    dim: int = 64,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 6,
+    seed: int = 11,
+) -> str:
+    """SQL mirror of operators/similarity.py::embedding_cosine_pairs: the
+    LSH-bucketed SELF-join (id_a < id_b) + exact cosine verification."""
+    vals, sig = _lsh_planes_sql(dim, n_planes, n_tables, seed)
+    return f"""
+WITH planes(t, p, s) AS (VALUES
+  {vals}
+),
+v AS (SELECT vec_id AS _id, embedding AS e, {_QUANT_SQL} AS q FROM embeddings),
+b AS (SELECT _id, {sig} AS bucket FROM v, planes GROUP BY _id, t),
+cand AS (
+  SELECT DISTINCT a._id AS id_a, bb._id AS id_b
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a._id < bb._id
+),
+scored AS (
+  SELECT cand.id_a, cand.id_b, {_cos_sql("va.e", "vb.e", dim)} AS cosine
+  FROM cand
+  JOIN v va ON va._id = cand.id_a
+  JOIN v vb ON vb._id = cand.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
 """
 
 
@@ -1361,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_simhash": _SIMHASH_SQL,
         "dedup_simhash": _SIMHASH_PAIRS_SQL,
+        "emb_near_dup_pairs": _emb_near_dup_sql(),
         "sim_ann_lsh_topk": _lsh_topk_sql(),
         "sim_ann_ivf_topk": _ivf_topk_sql(),
         "text_token_count": """
