@@ -27,10 +27,9 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..extract.html_text import with_extracted_text
 from ..functions.embed import certainty_expr, cosine_expr, with_hash_embedding
 from ..operators.canonicalize import canonical_mapping
-from ..operators.mentions import build_surface_map, with_mentions
+from ..operators.mentions import build_surface_map
 from ..sources.catalog import ParquetCatalog
 
 DEFAULT_K = 5  # reference app/config.py:10
@@ -108,6 +107,68 @@ def _driver_side_inputs(
     return surfaces, surface_map, term_vecs, canon
 
 
+def _fused_page_scan(pages: DataFrame, surfaces: list[str]) -> DataFrame:
+    """(url, warc_ts, html, text?, lang) → (url, warc_ts, lang, mentions,
+    page_embedding) in ONE Arrow pass: byte-identical HTML→text extraction
+    (``extract_text_py``), passage fallback (empty extraction → ``text``),
+    broadcast Aho-Corasick mention scan, hash page embedding (M1 stub —
+    the same batched Series→Series contract a provider-backed embedder
+    implements). Narrow: scales with input splits, zero shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ..extract.html_text import extract_text_py
+    from ..functions.embed import embed_series
+    from ..operators.mentions import AhoCorasick
+
+    spark = pages.sparkSession
+    has_text = "text" in pages.columns
+    bc_ac = spark.sparkContext.broadcast(AhoCorasick(surfaces))
+    out_schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("warc_ts", TimestampType()),
+            StructField("lang", StringType()),
+            StructField("mentions", ArrayType(StringType())),
+            StructField("page_embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        automaton = bc_ac.value
+        for pdf in batches:
+            texts = pdf["text"] if has_text else None
+            passages = []
+            for i in range(len(pdf)):
+                ext = extract_text_py(pdf["html"].iloc[i])
+                if ext:
+                    passages.append(ext)
+                else:
+                    t = texts.iloc[i] if texts is not None else None
+                    passages.append(t if isinstance(t, str) else "")
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "lang": pdf["lang"],
+                    "mentions": [automaton.find_distinct(p) for p in passages],
+                    "page_embedding": embed_series(pd.Series(passages, dtype=object)),
+                }
+            )
+
+    cols = ["url", "warc_ts", "html", "lang"] + (["text"] if has_text else [])
+    return pages.select(*cols).mapInPandas(_scan, out_schema)
+
+
 def build_triples(
     pages: DataFrame,
     terms: DataFrame,
@@ -166,20 +227,14 @@ def build_triples(
         canon = canonical_mapping(terms)
 
     # --- stage A: one narrow pass over the corpus -------------------------
-    has_text = "text" in pages.columns
-    extracted = with_extracted_text(pages).withColumn(
-        "passage",
-        F.coalesce(
-            F.nullif(F.col("extracted_text"), F.lit("")),
-            F.col("text") if has_text else F.lit(None).cast("string"),
-            F.lit(""),
-        ),
-    )
-    enriched = with_hash_embedding(
-        with_mentions(extracted, surfaces, text_col="passage"),
-        "passage",
-        "page_embedding",
-    )
+    # extract + passage + mention scan + page embedding run as ONE
+    # mapInPandas — a single JVM↔Python Arrow crossing. Chaining separate
+    # pandas UDFs (extract → scan(passage) → embed(passage)) lets Catalyst
+    # fan the passage expression into multiple columns and duplicate the
+    # UDF chain (the plan showed FOUR ArrowEvalPython nodes: extract and
+    # scan each evaluated twice); fusing removes the duplication and the
+    # repeated html/text Arrow transfers.
+    enriched = _fused_page_scan(pages, surfaces)
 
     # explode mentions; zero-mention pages exit here (the reference returns
     # an error response for no-candidate passages — metrics, not triples)
