@@ -64,3 +64,59 @@ def test_union_find_partition_properties(edges):
     # transitivity: representative of a representative is itself
     for n, c in comp.items():
         assert comp.get(c, c) == c
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, width=32, allow_nan=False),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_quantize_matches_sql_formula(vals):
+    # quantize must equal floor(x*1000 + 0.5) computed in plain double
+    # arithmetic — the exact expression every SQL oracle uses
+    import math
+
+    from biocurator_mapper_spark.operators.similarity import quantize
+
+    got = quantize(np.array(vals, dtype=np.float64))
+    want = [math.floor(float(v) * 1000.0 + 0.5) for v in vals]
+    assert got.tolist() == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=8), st.integers(min_value=1, max_value=6),
+       st.integers(min_value=0, max_value=2**31 - 1))
+def test_plane_signs_shape_and_determinism(n_tables, n_planes, seed):
+    from biocurator_mapper_spark.operators.similarity import plane_signs
+
+    a = plane_signs(16, n_planes, n_tables, seed)
+    b = plane_signs(16, n_planes, n_tables, seed)
+    assert a.shape == (n_tables * n_planes, 16)
+    assert set(np.unique(a)) <= {-1, 1}
+    assert (a == b).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-5, max_value=5, width=32, allow_nan=False),
+        min_size=16,
+        max_size=16,
+    )
+)
+def test_lsh_bucket_scale_invariance(vec):
+    # positive scaling never changes a sign-LSH bucket (cosine geometry);
+    # quantization can only flip near-zero dots, so scale UP
+    from biocurator_mapper_spark.operators.similarity import plane_signs, quantize
+
+    signs = plane_signs(16, 4, 2, seed=7)
+    v = np.array(vec, dtype=np.float64)
+    q1 = quantize(v) @ signs.T
+    q2 = quantize(v * 4.0) @ signs.T
+    # where the original dot is clearly nonzero, the scaled sign agrees
+    for d1, d2 in zip(q1, q2):
+        if abs(d1) > 16:  # > max per-component rounding drift (16 dims × ±0.5 × |s|=1)
+            assert (d1 > 0) == (d2 > 0)
