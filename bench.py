@@ -64,11 +64,19 @@ def main() -> int:
 
     _warm = pandas_udf(lambda s: s, "long")
     spark.range(100000).select(_warm(col("id"))).count()
+    # min of 2 passes per query: this box is shared and background load
+    # produces 2-4x single-run swings (BENCH.md §1) — the min is the
+    # reproducible capability number, still including per-query plan
+    # construction (only the process-lifetime warmup above is excluded)
     for name in names:
         fn = qs[name]
-        t0 = time.monotonic()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            n = fn(spark, sf_dir).count()
+            el = time.monotonic() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
         counts[name] = n
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -204,6 +204,12 @@ def mention_candidates(
     """
     surface_map = surface_map.withColumn("surface", F.lower(F.col("surface")))
     surfaces = [r.surface for r in surface_map.select("surface").distinct().collect()]
+    # under-partitioned input → the Python scan stage would serialize on
+    # one task; a round-robin shuffle restores parallelism (no-op for
+    # properly split inputs — the 100 TB case)
+    default_p = pages.sparkSession.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < max(default_p // 2, 1):
+        pages = pages.repartition(default_p)
     mentions = (
         with_mentions(pages, surfaces, text_col=text_col)
         .withColumn("mention", F.explode("mentions"))

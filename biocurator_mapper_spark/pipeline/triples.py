@@ -166,7 +166,15 @@ def _fused_page_scan(pages: DataFrame, surfaces: list[str]) -> DataFrame:
             )
 
     cols = ["url", "warc_ts", "html", "lang"] + (["text"] if has_text else [])
-    return pages.select(*cols).mapInPandas(_scan, out_schema)
+    src = pages.select(*cols)
+    # an under-partitioned source (one small parquet split, single kafka
+    # partition) would run the whole extract/scan/embed stage on ONE task;
+    # one round-robin shuffle of the raw pages buys full parallelism.
+    # Properly split 100 TB inputs (maxPartitionBytes-sized) skip this.
+    default_p = pages.sparkSession.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < max(default_p // 2, 1):
+        src = src.repartition(default_p)
+    return src.mapInPandas(_scan, out_schema)
 
 
 def build_triples(
