@@ -635,6 +635,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "subj", "pred", "obj", "mention"
         )
 
+    def kg_co_mentions(spark, sf_dir):
+        # graph materialize: doc-level co-occurrence edges between terms
+        # (in-array pair expansion — never a corpus self-join)
+        from biocurator_mapper_spark.operators.graph import co_mention_edges
+
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id"), F.col("text").alias("extracted_text")
+        )
+        sm = _dict_df(spark).withColumn("is_exact", F.lit(True))
+        return co_mention_edges(d, sm)
+
+    def kg_exact_degree(spark, sf_dir):
+        # per-object in-degree profile of the pipeline's output, on the
+        # SQL-derivable one-exact-term slice (same restriction as
+        # kg_exact_winner, aggregated)
+        from biocurator_mapper_spark.operators.graph import degree_stats
+
+        pages = _docs_as_pages(spark, sf_dir)
+        triples = build_triples(pages, _vocab_terms(spark))
+        d = _docs(spark, sf_dir)
+        ex = spark.createDataFrame(EXACT_DICT, "surface string, term_id string")
+        one_exact = (
+            d.join(
+                F.broadcast(ex),
+                F.lower(F.col("text")).contains(F.col("surface")),
+            )
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term_id").alias("_n"))
+            .where(F.col("_n") == 1)
+            .select(F.concat(F.lit("doc://"), F.col("doc_id")).alias("subj"))
+        )
+        return degree_stats(triples.join(one_exact, "subj"))
+
     def j7_canonical_mapping(spark, sf_dir):
         # alias-graph canonicalization over the vocab ontology — the DuckDB
         # oracle computes the same transitive closure with a recursive CTE
@@ -697,6 +730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "kg_triples": kg_triples,
         "kg_exact_winner": kg_exact_winner,
+        "kg_co_mentions": kg_co_mentions,
+        "kg_exact_degree": kg_exact_degree,
         "j7_canonical_mapping": j7_canonical_mapping,
         "kg_mention_recall": kg_mention_recall,
     }
@@ -1491,5 +1526,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d, {_dict_values_sql()}
             WHERE contains(lower(d.text), dic.surface)
             GROUP BY 1, 2
+        """,
+        "kg_co_mentions": f"""
+            WITH hits AS (
+              SELECT DISTINCT d.doc_id, dic.term_id
+              FROM documents d, {_dict_values_sql()}
+              WHERE contains(lower(d.text), dic.surface)
+            ),
+            pairs AS (
+              SELECT a.term_id AS t1, b.term_id AS t2
+              FROM hits a JOIN hits b
+                ON a.doc_id = b.doc_id AND a.term_id < b.term_id
+            )
+            SELECT t1, t2, count(*) AS n_docs FROM pairs GROUP BY 1, 2
+        """,
+        "kg_exact_degree": f"""
+            WITH RECURSIVE {_CANON_CTES},
+            ex_hits AS (
+              SELECT DISTINCT d.doc_id, dic.term_id
+              FROM documents d, {_exact_dict_values_sql()}
+              WHERE contains(lower(d.text), dic.surface)
+            ),
+            one_exact AS (
+              SELECT doc_id, min(term_id) AS term_id
+              FROM ex_hits GROUP BY doc_id HAVING count(*) = 1
+            ),
+            winners AS (
+              SELECT 'doc://' || o.doc_id AS subj, cm.canonical_id AS obj
+              FROM one_exact o JOIN canon_map cm ON cm.term_id = o.term_id
+            )
+            SELECT obj, count(*) AS n_triples,
+                   count(DISTINCT subj) AS n_subjects
+            FROM winners GROUP BY obj
         """,
     }
