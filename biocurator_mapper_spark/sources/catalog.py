@@ -66,11 +66,40 @@ class ParquetCatalog:
     def exists(self, table: str) -> bool:
         return self.current_version(table) is not None
 
-    def read(self, table: str) -> DataFrame:
-        version = self.current_version(table)
+    def read(self, table: str, version: str | None = None) -> DataFrame:
+        """Read the live version, or time-travel to a named one (every
+        ``write_replace`` keeps its immutable ``v_*`` directory until
+        ``vacuum_table`` retires it — Iceberg snapshot-read semantics)."""
+        if version is None:
+            version = self.current_version(table)
         if version is None:
             raise FileNotFoundError(f"table {table} has no committed version")
-        return self.spark.read.parquet(os.path.join(self._table_dir(table), version))
+        vdir = os.path.join(self._table_dir(table), version)
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(f"table {table} has no version {version}")
+        return self.spark.read.parquet(vdir)
+
+    def versions(self, table: str) -> list[str]:
+        """All retained versions, oldest first (commit-time order)."""
+        tdir = self._table_dir(table)
+        if not os.path.isdir(tdir):
+            return []
+        vs = [n for n in os.listdir(tdir) if n.startswith("v_")]
+        return sorted(vs, key=lambda n: os.path.getmtime(os.path.join(tdir, n)))
+
+    def vacuum_table(self, table: str, keep: int = 2) -> list[str]:
+        """Retire all but the newest ``keep`` versions (never the live one).
+        Returns removed version names."""
+        import shutil
+
+        live = self.current_version(table)
+        vs = self.versions(table)
+        removable = [v for v in vs[:-keep] if v != live] if keep > 0 else [
+            v for v in vs if v != live
+        ]
+        for v in removable:
+            shutil.rmtree(os.path.join(self._table_dir(table), v))
+        return removable
 
     # ------------------------------------------------------------ append log
     def append(self, df: DataFrame, table: str) -> None:

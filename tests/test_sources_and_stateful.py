@@ -118,3 +118,28 @@ def test_stateful_host_stats_stream(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_catalog_time_travel_and_retention(spark, tmp_path):
+    """write_replace keeps immutable versions readable (snapshot reads)
+    until vacuum_table retires them; the live pointer always survives."""
+    import pytest
+
+    from biocurator_mapper_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    v1 = cat.write_replace(spark.createDataFrame([(1, "a")], "k int, v string"), "t")
+    v2 = cat.write_replace(spark.createDataFrame([(2, "b")], "k int, v string"), "t")
+    v3 = cat.write_replace(spark.createDataFrame([(3, "c")], "k int, v string"), "t")
+    assert cat.current_version("t") == v3
+    assert cat.versions("t") == [v1, v2, v3]
+    # time travel: superseded versions stay readable
+    assert cat.read("t", version=v1).collect()[0].v == "a"
+    assert cat.read("t").collect()[0].v == "c"
+    # retention keeps the newest 2; v1 is gone
+    removed = cat.vacuum_table("t", keep=2)
+    assert removed == [v1]
+    with pytest.raises(FileNotFoundError):
+        cat.read("t", version=v1)
+    assert cat.read("t", version=v2).collect()[0].v == "b"
+    assert cat.read("t").collect()[0].v == "c"
