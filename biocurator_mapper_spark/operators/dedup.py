@@ -238,8 +238,13 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    sa = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    sb = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    # exact-verify sides rebuild the shingle SETS from the already-shuffled
+    # exploded rows (ReusedExchange with the signature aggregate) instead of
+    # re-evaluating the shingle HOF expressions over the whole corpus twice
+    # more — one extra hash aggregate replaces two full interpreted passes
+    sets = exploded.groupBy("_id").agg(F.collect_list("shingle").alias("_sh"))
+    sa = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sb = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     union = F.size("_sha") + F.size("_shb") - inter
     return (
