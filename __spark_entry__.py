@@ -569,6 +569,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_planes=6, n_tables=6, seed=11,
         )
 
+    def media_features_sha(spark, sf_dir):
+        # multimodal plumbing under the driver gate: documents' text bytes
+        # stand in for media blobs; the mapInPandas feature stage's
+        # SQL-expressible outputs (content sha, dim, meta byte length) are
+        # oracle-checked — the feature floats are covered by pytest
+        from biocurator_mapper_spark.operators.multimodal import (
+            extract_media_features,
+            with_media_meta,
+        )
+
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "utf-8").alias("media"),
+        )
+        meta = with_media_meta(d, media_type="text-as-blob", fmt="utf8").select(
+            "media_id", F.col("media_meta.n_bytes").alias("n_bytes")
+        )
+        feats = extract_media_features(d).select(
+            "media_id",
+            F.col("feat_dim").cast("bigint").alias("feat_dim"),
+            "content_sha",
+        )
+        return feats.join(meta, "media_id")
+
     def text_simhash(spark, sf_dir):
         from biocurator_mapper_spark.operators.dedup import simhash_expr
 
@@ -720,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "text_ngram_freq": text_ngram_freq,
         "emb_near_dup_pairs": emb_near_dup_pairs,
+        "media_features_sha": media_features_sha,
         "dedup_simhash": dedup_simhash,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
         "sim_ann_ivf_topk": sim_ann_ivf_topk,
@@ -1449,6 +1474,12 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "text_simhash": _SIMHASH_SQL,
+        "media_features_sha": """
+            SELECT doc_id AS media_id, 64::BIGINT AS feat_dim,
+                   sha256(text) AS content_sha,
+                   octet_length(text::BLOB)::BIGINT AS n_bytes
+            FROM documents
+        """,
         "dedup_simhash": _SIMHASH_PAIRS_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
         "sim_ann_lsh_topk": _lsh_topk_sql(),
