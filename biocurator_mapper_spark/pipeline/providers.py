@@ -213,6 +213,32 @@ def build_explanation_prompt(passage: str, term: dict) -> str:
     )
 
 
+def parse_llm_reply(
+    content: str, candidate_ids: list[str]
+) -> tuple[dict | None, str | None]:
+    """Driver-side twin of operators/rerank.py::parse_llm_json — the
+    reference's validation exactly (llm_matcher.py:96-114): strip markdown
+    fences, parse JSON, require {id, name, confidence, reason}, and the
+    chosen id must be a candidate. Returns (result, error)."""
+    text = content.strip()
+    if text.startswith("```json"):
+        text = text[7:]
+    if text.endswith("```"):
+        text = text[:-3]
+    text = text.strip()
+    try:
+        result = json.loads(text)
+    except json.JSONDecodeError as e:
+        return None, f"JSON decode error: {e}"
+    required = {"id", "name", "confidence", "reason"}
+    if not isinstance(result, dict) or not required <= set(result):
+        missing = required - set(result) if isinstance(result, dict) else required
+        return None, f"LLM response missing required keys: {sorted(missing)}"
+    if result["id"] not in set(candidate_ids):
+        return None, f"LLM chose invalid ID {result['id']} not in candidates"
+    return result, None
+
+
 # ------------------------------------------------------------- UDF stages
 
 

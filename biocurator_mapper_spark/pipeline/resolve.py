@@ -27,8 +27,21 @@ class Resolver:
     (one passage ≡ one row — no cluster job per request, matching the
     reference's sub-second interactive latency)."""
 
-    def __init__(self, terms: DataFrame, k: int = 5):
+    def __init__(
+        self,
+        terms: DataFrame,
+        k: int = 5,
+        chat_provider=None,
+        explain: bool = False,
+    ):
+        """``chat_provider`` (name in CHAT_PROVIDERS or a callable) turns on
+        the reference's LLM rerank for the interactive path — prompt,
+        validation and fallback per app/llm_matcher.py:77-138; ``explain``
+        additionally requests the M6 second-model explanation
+        (llm_matcher.py:140-160). Both default OFF (deterministic stub)."""
         self.k = k
+        self.chat_provider = chat_provider
+        self.explain = explain
         rows = terms.select(
             "term_id", "name", "definition", "exact_synonyms", "all_synonyms",
             "searchable_text", "namespace",
@@ -99,7 +112,23 @@ class Resolver:
             if hit is not None
             else f"highest embedding certainty for {best.term_id}"
         )
-        return {
+        llm_error = None
+        if self.chat_provider is not None:
+            llm = self._llm_rerank(passage, ranked, cand_idx)
+            if llm is not None and llm.get("error") is None:
+                chosen = self.terms[llm["id"]]
+                ranked = [r for r in ranked if self.ids[r[1]] == llm["id"]] + [
+                    r for r in ranked if self.ids[r[1]] != llm["id"]
+                ]
+                best = chosen
+                confidence = float(llm["confidence"])
+                reason = llm["reason"]
+                certainty = next(
+                    s[1] for s, i in ranked if self.ids[i] == llm["id"]
+                )
+            elif llm is not None:
+                llm_error = llm["error"]  # deterministic stub stays in force
+        out = {
             "best_match": {
                 "id": best.term_id,
                 "name": best.name,
@@ -113,3 +142,66 @@ class Resolver:
             ],
             "similarity_certainty": round(certainty, 4),
         }
+        if llm_error is not None:
+            out["llm_error"] = llm_error
+        if self.explain and self.chat_provider is not None:
+            out["explanation"] = self._llm_explain(passage, best)
+        return out
+
+    # -------------------------------------------------- optional LLM layer
+
+    def _chat(self):
+        from .providers import CHAT_PROVIDERS
+
+        p = self.chat_provider
+        return CHAT_PROVIDERS[p] if isinstance(p, str) else p
+
+    def _llm_rerank(self, passage: str, ranked, cand_idx) -> dict | None:
+        """Reference select_best_match semantics (llm_matcher.py:77-138):
+        rich candidate prompt → chat call with retry/backoff → fence-strip +
+        required-keys + id-in-candidates validation. Returns the validated
+        result, {'error': ...} on an invalid reply, or None on transport
+        failure (deterministic fallback either way)."""
+        from .providers import build_match_prompt, parse_llm_reply, retry_call
+
+        cands = []
+        for (s, cert, _hit), i in ranked:
+            r = self.terms[self.ids[i]]
+            cands.append(
+                {
+                    "id": r.term_id,
+                    "name": r.name,
+                    "definition": r.definition,
+                    "exact_synonyms": list(r.exact_synonyms or []),
+                    "namespace": r.namespace,
+                    "similarity_certainty": cert,
+                }
+            )
+        prompt = build_match_prompt(passage, cands)
+        try:
+            content = retry_call(lambda: self._chat()(prompt))
+        except Exception as e:  # noqa: BLE001 — availability over strictness
+            return {"error": str(e)}
+        result, err = parse_llm_reply(content, [c["id"] for c in cands])
+        return {"error": err} if err else result
+
+    def _llm_explain(self, passage: str, best) -> str:
+        """M6 second-model explanation with the reference's failure
+        fallback string (llm_matcher.py:156-160)."""
+        from .providers import build_explanation_prompt, retry_call
+
+        term = {
+            "name": best.name,
+            "id": best.term_id,
+            "definition": best.definition,
+            "exact_synonyms": list(best.exact_synonyms or []),
+        }
+        try:
+            return retry_call(
+                lambda: self._chat()(build_explanation_prompt(passage, term))
+            ).strip()
+        except Exception as e:  # noqa: BLE001
+            return (
+                "Match selected based on semantic similarity "
+                f"(explanation generation failed: {e})"
+            )

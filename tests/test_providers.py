@@ -186,3 +186,48 @@ def test_retry_call_backoff_then_success():
 
     assert retry_call(flaky, base_delay=0.001) == "ok"
     assert state["n"] == 3
+
+
+def test_resolver_llm_rerank_and_explanation(spark, terms):
+    """The interactive path with a chat provider: a valid reply overrides
+    the stub winner; an invalid id falls back deterministically with the
+    error surfaced; explain adds the second-model explanation (M5/M6,
+    reference llm_matcher.py:77-160)."""
+    from biocurator_mapper_spark.pipeline.resolve import Resolver
+
+    calls = {"n": 0}
+
+    def chat_pick_other(prompt):
+        calls["n"] += 1
+        if prompt.startswith("Explain in 2-3 sentences"):
+            return "Because it is the canonical apoptosis term."
+        # pick the SECOND candidate listed in the prompt to prove override
+        import re
+
+        ids = re.findall(r"\((\w+:\d+)\)", prompt)
+        target = ids[1] if len(ids) > 1 else ids[0]
+        return (
+            "```json\n"
+            f'{{"id": "{target}", "name": "x", "confidence": 0.77, "reason": "llm says so"}}'
+            "\n```"
+        )
+
+    base = Resolver(terms, k=3).resolve("apoptosis of T cells in culture")
+    r = Resolver(terms, k=3, chat_provider=chat_pick_other, explain=True)
+    out = r.resolve("apoptosis of T cells in culture")
+    assert calls["n"] == 2  # rerank + explanation
+    assert out["reason"] == "llm says so"
+    assert out["confidence"] == 0.77
+    assert out["best_match"]["id"] != base["best_match"]["id"]
+    assert out["best_match"]["id"] in {a["id"] for a in base["alternatives"]}
+    assert out["explanation"].startswith("Because")
+    assert "llm_error" not in out
+
+    def chat_bad(prompt):
+        return '{"id": "NOPE:1", "name": "x", "confidence": 0.5, "reason": "r"}'
+
+    bad = Resolver(terms, k=3, chat_provider=chat_bad).resolve(
+        "apoptosis of T cells in culture"
+    )
+    assert bad["best_match"]["id"] == base["best_match"]["id"]  # stub fallback
+    assert "invalid ID" in bad["llm_error"]
