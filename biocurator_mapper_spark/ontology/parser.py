@@ -277,25 +277,60 @@ def searchable_text_config(
     return F.concat_ws(separator, *out)
 
 
+SYNONYM_TYPE_ORDER = ("exact", "narrow", "broad", "related")
+
+
+def synonyms_map() -> Column:
+    """The reference's ``DOTerm.synonyms`` shape (models.py:44):
+    ``map<synonym_type, array<synonym>>`` built from the typed columns."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(t) for t in SYNONYM_TYPE_ORDER]),
+        F.array(
+            F.col("exact_synonyms"),
+            F.col("narrow_synonyms"),
+            F.col("broad_synonyms"),
+            F.col("related_synonyms"),
+        ),
+    )
+
+
+def prioritized_xrefs(
+    xrefs: Column, sources: list[str], limit: int = 5
+) -> Column:
+    """Source-prioritized xref filter (do_embeddings.py:121-136): keep
+    xrefs whose prefix matches ANY configured source (xref order
+    preserved, like the reference's outer loop), first ``limit``."""
+    src = F.array(*[F.lit(s) for s in sources])
+    return F.slice(
+        F.filter(xrefs, lambda x: F.exists(src, lambda s: F.startswith(x, s))),
+        1,
+        limit,
+    )
+
+
 def embed_text(
     max_length: int = 8000,
     separator: str = " | ",
+    xref_sources: tuple[str, ...] = (),
 ) -> Column:
     """Compose the per-term embedding text (reference do_embeddings.py:73-145).
 
-    ``Name: …`` | ``Definition: …`` | ``Synonyms: type: syn, …`` with
-    truncation to ``max_length`` (-3 for the ellipsis). Synonym type labels
-    follow the term table's typed arrays in declaration order, like the
-    reference's dict iteration over DOTerm.synonyms.
+    ``Name: …`` | ``Definition: …`` | ``Synonyms: type: syn, …``
+    [| ``References: …`` when ``xref_sources`` configures prioritized
+    sources — filtered by prefix, capped at 5, do_embeddings.py:121-136]
+    with truncation to ``max_length`` (-3 for the ellipsis). Synonym parts
+    iterate the ``map<type, syns>`` with ``map_entries`` — the reference's
+    dict iteration over DOTerm.synonyms, declaration order.
     """
-    syn_parts = F.concat(
-        F.transform(F.col("exact_synonyms"), lambda s: F.concat(F.lit("exact: "), s)),
-        F.transform(F.col("narrow_synonyms"), lambda s: F.concat(F.lit("narrow: "), s)),
-        F.transform(F.col("broad_synonyms"), lambda s: F.concat(F.lit("broad: "), s)),
-        F.transform(F.col("related_synonyms"), lambda s: F.concat(F.lit("related: "), s)),
+    syn_parts = F.flatten(
+        F.transform(
+            F.map_entries(synonyms_map()),
+            lambda e: F.transform(
+                e["value"], lambda s: F.concat(e["key"], F.lit(": "), s)
+            ),
+        )
     )
-    combined = F.concat_ws(
-        separator,
+    parts = [
         F.when(F.col("name") != "", F.concat(F.lit("Name: "), F.col("name"))),
         F.when(
             F.col("definition") != "",
@@ -305,7 +340,16 @@ def embed_text(
             F.size(syn_parts) > 0,
             F.concat(F.lit("Synonyms: "), F.array_join(syn_parts, ", ")),
         ),
-    )
+    ]
+    if xref_sources:
+        px = prioritized_xrefs(F.col("cross_references"), list(xref_sources))
+        parts.append(
+            F.when(
+                F.size(px) > 0,
+                F.concat(F.lit("References: "), F.array_join(px, ", ")),
+            )
+        )
+    combined = F.concat_ws(separator, *parts)
     return F.when(
         F.length(combined) > max_length,
         F.concat(F.substring(combined, 1, max_length - 3), F.lit("...")),

@@ -204,3 +204,31 @@ def test_config_driven_ingest_renamed_keys(spark):
     assert r.exact_synonyms == ["renamed term"]
     assert r.cross_references == ["MESH:D1", "BARE:2"]
     assert "renamed term" in r.searchable_text
+
+
+def test_embed_text_prioritized_xrefs(terms):
+    # References part: only xrefs matching a configured source prefix, in
+    # xref order, capped at 5 (reference do_embeddings.py:121-136)
+    from biocurator_mapper_spark.ontology import embed_text
+
+    out = terms.withColumn(
+        "embed_text", embed_text(xref_sources=("MESH:", "OMIM:"))
+    ).where(F.col("term_id") == "DOID:9352").collect()[0]
+    assert "References: MESH:D003924, OMIM:125853" in out.embed_text
+    assert "ICD10CM" not in out.embed_text  # non-prioritized source dropped
+    # default stays reference-less (existing composition unchanged)
+    base = terms.withColumn("embed_text", embed_text()).where(
+        F.col("term_id") == "DOID:9352"
+    ).collect()[0]
+    assert "References:" not in base.embed_text
+
+
+def test_synonyms_map_shape(terms):
+    from biocurator_mapper_spark.ontology.parser import synonyms_map
+
+    r = terms.withColumn("smap", synonyms_map()).where(
+        F.col("term_id") == "DOID:0001816"
+    ).collect()[0]
+    assert r.smap["exact"] == ["hemangiosarcoma"]
+    assert r.smap["broad"] == ["vascular cancer"]
+    assert set(r.smap.keys()) == {"exact", "narrow", "broad", "related"}
