@@ -110,3 +110,24 @@ def test_ivf_plan_has_no_global_sort(spark):
         assert (
             "RoundRobin" in e or "hashpartitioning" in e or "SinglePartition" in e
         ), e
+
+
+def test_kg_triples_plan_shape_pinned(spark, terms):
+    """The flagship plan's scale guarantees, pinned: one corpus scan-side
+    MapInPandas (fused extract+scan+embed), ZERO ArrowEvalPython (no
+    duplicated chained UDFs), and exactly one corpus hash shuffle (the
+    per-url groupBy) besides any round-robin input-split fix."""
+    from biocurator_mapper_spark.pipeline import build_triples
+    from biocurator_mapper_spark.testdata import pages_dataframe
+
+    pages = pages_dataframe(spark, ["hash join"], n_pages=8, seed=1)
+    t = build_triples(pages, terms)
+    plan = t._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 0
+    hash_shuffles = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "Broadcast" not in l
+    ]
+    assert len(hash_shuffles) == 1, hash_shuffles
+    assert "url" in hash_shuffles[0]  # the one wide exchange keys on url
