@@ -136,6 +136,41 @@ except ImportError:  # pragma: no cover - depends on environment
 _C_AUTOMATON_CACHE: dict[int, object] = {}
 
 
+def broadcast_scanner(spark, surfaces: list[str]):
+    """Broadcast-backed scanner factory shared by the standalone mention
+    stage and the pipeline's fused page scan: returns a zero-arg callable
+    (safe to call once per task) yielding ``find(text) -> sorted distinct
+    surfaces``. Uses the pyahocorasick C automaton when importable
+    (rebuilt per worker from broadcast patterns), else the picklable
+    pure-Python automaton."""
+    if _pyahocorasick is not None:
+        patterns = sorted({p.lower() for p in surfaces if p})
+        bc = spark.sparkContext.broadcast(patterns)
+        bid = bc.id
+
+        def _get():
+            import ahocorasick
+
+            auto = _C_AUTOMATON_CACHE.get(bid)
+            if auto is None:
+                auto = ahocorasick.Automaton()
+                for p in bc.value:
+                    auto.add_word(p, p)
+                auto.make_automaton()
+                _C_AUTOMATON_CACHE[bid] = auto
+
+            def find(t):
+                if not t:
+                    return []
+                return sorted({v for _, v in auto.iter(t.lower())})
+
+            return find
+
+        return _get
+    bc = spark.sparkContext.broadcast(AhoCorasick(surfaces))
+    return lambda: bc.value.find_distinct
+
+
 def with_mentions(
     pages: DataFrame,
     surfaces: list[str],
@@ -151,39 +186,12 @@ def with_mentions(
     no-C-deps fallback with identical match semantics.
     """
     spark = pages.sparkSession
-    if _pyahocorasick is not None:
-        patterns = sorted({p.lower() for p in surfaces if p})
-        bc_pat = spark.sparkContext.broadcast(patterns)
-        bid = bc_pat.id
-
-        @F.pandas_udf(ArrayType(StringType()))
-        def _scan(texts: pd.Series) -> pd.Series:
-            import ahocorasick
-
-            auto = _C_AUTOMATON_CACHE.get(bid)
-            if auto is None:
-                auto = ahocorasick.Automaton()
-                for p in bc_pat.value:
-                    auto.add_word(p, p)
-                auto.make_automaton()
-                _C_AUTOMATON_CACHE[bid] = auto
-
-            def find(t):
-                if not t:
-                    return []
-                return sorted({v for _, v in auto.iter(t.lower())})
-
-            return texts.map(find)
-
-        return pages.withColumn(out_col, _scan(F.col(text_col)))
-
-    ac = AhoCorasick(surfaces)
-    bc = spark.sparkContext.broadcast(ac)
+    get_scanner = broadcast_scanner(spark, surfaces)
 
     @F.pandas_udf(ArrayType(StringType()))
     def _scan(texts: pd.Series) -> pd.Series:
-        automaton = bc.value
-        return texts.map(automaton.find_distinct)
+        find = get_scanner()
+        return texts.map(find)
 
     return pages.withColumn(out_col, _scan(F.col(text_col)))
 

@@ -107,13 +107,17 @@ def _driver_side_inputs(
     return surfaces, surface_map, term_vecs, canon
 
 
-def _fused_page_scan(pages: DataFrame, surfaces: list[str]) -> DataFrame:
+def _fused_page_scan(
+    pages: DataFrame, surfaces: list[str], page_embed=None
+) -> DataFrame:
     """(url, warc_ts, html, text?, lang) → (url, warc_ts, lang, mentions,
     page_embedding) in ONE Arrow pass: byte-identical HTML→text extraction
     (``extract_text_py``), passage fallback (empty extraction → ``text``),
-    broadcast Aho-Corasick mention scan, hash page embedding (M1 stub —
-    the same batched Series→Series contract a provider-backed embedder
-    implements). Narrow: scales with input splits, zero shuffle."""
+    broadcast dictionary scan (pyahocorasick when available), and the page
+    embedding. ``page_embed`` is a batched ``pd.Series → pd.Series``
+    callable — the hash stub by default, a provider-backed embedder with
+    the same contract otherwise (M1). Narrow: scales with input splits,
+    zero shuffle."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -128,11 +132,12 @@ def _fused_page_scan(pages: DataFrame, surfaces: list[str]) -> DataFrame:
 
     from ..extract.html_text import extract_text_py
     from ..functions.embed import embed_series
-    from ..operators.mentions import AhoCorasick
+    from ..operators.mentions import broadcast_scanner
 
     spark = pages.sparkSession
     has_text = "text" in pages.columns
-    bc_ac = spark.sparkContext.broadcast(AhoCorasick(surfaces))
+    get_scanner = broadcast_scanner(spark, surfaces)
+    embed = page_embed if page_embed is not None else embed_series
     out_schema = StructType(
         [
             StructField("url", StringType()),
@@ -144,7 +149,7 @@ def _fused_page_scan(pages: DataFrame, surfaces: list[str]) -> DataFrame:
     )
 
     def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        automaton = bc_ac.value
+        find = get_scanner()
         for pdf in batches:
             texts = pdf["text"] if has_text else None
             passages = []
@@ -160,8 +165,8 @@ def _fused_page_scan(pages: DataFrame, surfaces: list[str]) -> DataFrame:
                     "url": pdf["url"],
                     "warc_ts": pdf["warc_ts"],
                     "lang": pdf["lang"],
-                    "mentions": [automaton.find_distinct(p) for p in passages],
-                    "page_embedding": embed_series(pd.Series(passages, dtype=object)),
+                    "mentions": [find(p) for p in passages],
+                    "page_embedding": embed(pd.Series(passages, dtype=object)),
                 }
             )
 
@@ -184,6 +189,7 @@ def build_triples(
     pred_suffix: str = "mapped_to",
     n_buckets: int = TRIPLE_BUCKETS,
     term_vecs: DataFrame | None = None,
+    page_embed=None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) × terms → triples DataFrame.
 
@@ -242,7 +248,7 @@ def build_triples(
     # UDF chain (the plan showed FOUR ArrowEvalPython nodes: extract and
     # scan each evaluated twice); fusing removes the duplication and the
     # repeated html/text Arrow transfers.
-    enriched = _fused_page_scan(pages, surfaces)
+    enriched = _fused_page_scan(pages, surfaces, page_embed=page_embed)
 
     # explode mentions; zero-mention pages exit here (the reference returns
     # an error response for no-candidate passages — metrics, not triples)
