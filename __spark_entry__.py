@@ -5,7 +5,12 @@ exposes one named DataFrame per implemented operator family from SURVEY.md §2
 plus the training-data-pipeline suite (dedup / similarity / text analysis);
 ``oracle_sql()`` holds the DuckDB-equivalent SQL for every SQL-expressible
 entry (same column names, same value semantics — doubles are produced by the
-same left-to-right expression trees so they compare bit-identically).
+same left-to-right expression trees so they compare bit-identically; integer
+aggregates are cast to BIGINT because DuckDB sums are HUGEINT).
+
+Data-dependent oracles (the IVF centroids are trained on the corpus) read
+``$SPARK_GRAFT_ORACLE_SF_DIR`` (default ``/root/testdata/sf0.01`` — the
+scale the driver compares at) when ``oracle_sql()`` is generated.
 """
 
 from __future__ import annotations
