@@ -610,6 +610,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
         )
 
+    def text_bpe_token_count(spark, sf_dir):
+        from biocurator_mapper_spark.functions.text import bpe_token_count
+
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+        )
+
+    def events_rollup_report(spark, sf_dir):
+        # multi-granularity rollup in ONE pass (GROUPING SETS): per
+        # (day, type), per day, and grand total
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return e.rollup(
+            F.to_date(F.col("ts")).alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+
+    def skew_salted_join(spark, sf_dir):
+        # skew-safe join under the driver gate: result must equal the plain
+        # join (the small side is derived from the data so the oracle can
+        # rebuild it)
+        from biocurator_mapper_spark.operators.skew import salted_join
+
+        d = _docs(spark, sf_dir)
+        small = d.select("source").distinct().select(
+            "source", F.upper(F.col("source")).alias("source_label")
+        )
+        return salted_join(
+            d.select("doc_id", "source"), small, "source", n_salts=8
+        ).select("doc_id", "source", "source_label")
+
     def text_quality(spark, sf_dir):
         d = _docs(spark, sf_dir)
         cols = quality_score_cols(F.col("text"))
@@ -755,6 +788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_topk": sim_ann_ivf_topk,
         "text_simhash": text_simhash,
         "text_token_count": text_token_count,
+        "text_bpe_token_count": text_bpe_token_count,
+        "events_rollup_report": events_rollup_report,
+        "skew_salted_join": skew_salted_join,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
@@ -1494,6 +1530,27 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))
                      ::BIGINT AS n_tokens
             FROM documents
+        """,
+        "text_bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+                     ::BIGINT AS n_bpe_tokens
+            FROM documents
+        """,
+        "events_rollup_report": """
+            SELECT ts::DATE AS day, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY ROLLUP (ts::DATE, event_type)
+        """,
+        "skew_salted_join": """
+            WITH small AS (
+              SELECT source, upper(source) AS source_label
+              FROM (SELECT DISTINCT source FROM documents)
+            )
+            SELECT d.doc_id, d.source, s.source_label
+            FROM documents d JOIN small s ON d.source = s.source
         """,
         "text_quality": f"""
             WITH tok AS (

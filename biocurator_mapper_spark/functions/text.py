@@ -52,6 +52,20 @@ def token_count(col: Column) -> Column:
     return F.size(F.filter(toks, lambda t: t != ""))
 
 
+# GPT-2-style pre-tokenizer, RE2-compatible (no lookahead so the same
+# pattern runs in DuckDB/RE2 and Java regex with identical leftmost-first
+# alternation): contractions, space-prefixed letter runs, digit runs,
+# punctuation runs. Whitespace-only tokens are not counted.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count — the pre-tokenization granularity LLM training
+    budgets are planned in (GPT-2's pattern minus the lookahead), vs the
+    whitespace-ish ``token_count``. One codegen regexp_count; no Python."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
+
+
 def doc_fingerprint(col: Column) -> Column:
     """Normalized-content fingerprint: md5 over lowercase alnum-collapsed
     text. Rolling-hash equivalent for exact near-canonical duplicate keys."""

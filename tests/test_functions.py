@@ -112,3 +112,19 @@ def test_media_meta(spark):
     r = with_media_meta(df, media_type="image", fmt="jpeg").collect()[0]
     assert r.media_meta.media_type == "image"
     assert r.media_meta.n_bytes == 3
+
+
+def test_bpe_token_count_examples(spark):
+    from biocurator_mapper_spark.functions.text import bpe_token_count
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "Hello world"),        # "Hello", " world"
+        (2, "don't stop"),         # "don", "'t", " stop"
+        (3, "a1b2"),               # "a", "1", "b", "2"
+        (4, "x!!y"),               # "x", "!!", "y"
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    got = {r.i: r.n for r in df.select("i", bpe_token_count(F.col("t")).alias("n")).collect()}
+    assert got == {1: 2, 2: 3, 3: 4, 4: 3, 5: 0}
