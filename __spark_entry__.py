@@ -42,13 +42,12 @@ DICT: list[tuple[str, str]] = [
 # "sort merge" → OP:0002). Keep in sync with _vocab_terms.
 EXACT_DICT: list[tuple[str, str]] = [(s, t) for s, t in DICT if s != "sort merge"]
 
-_EN = (
-    "the of and a to in is was it for on as with that this are be or an at "
-    "by from has have not but were which you we they he she his her its"
-).split()
-_ES = "el la de que y en los del se las un por con una su para es al lo como".split()
-_DE = "der die und in den von zu das mit sich des auf ist im dem nicht ein".split()
-_FR = "le de la et les des en un du une que est pour qui dans par sur au".split()
+# canonical stopword lists — imported, not duplicated, so the oracle SQL
+# can never drift from the Spark expressions
+from biocurator_mapper_spark.functions.text import (  # noqa: E402
+    _STOPWORDS as _EN,
+    LANG_STOPWORDS as _LANGS,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -901,11 +900,11 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -
 
 
 def _lang_votes_sql() -> str:
-    langs = [("en", 3, _EN), ("es", 2, _ES), ("de", 1, _DE), ("fr", 0, _FR)]
+    n = len(_LANGS)
     votes = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, '{code}' AS lang, {prio} AS prio, "
+        f"  SELECT doc_id, '{code}' AS lang, {n - 1 - i} AS prio, "
         f"len(list_filter(t, x -> list_contains({_sql_list(words)}, x))) AS hits FROM tok"
-        for code, prio, words in langs
+        for i, (code, words) in enumerate(_LANGS)
     )
     return f"""
 WITH tok AS (

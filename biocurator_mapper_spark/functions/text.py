@@ -81,6 +81,22 @@ _STOPWORDS = (
 _STOP_ES = "el la de que y en los del se las un por con una su para es al lo como".split()
 _STOP_DE = "der die und in den von zu das mit sich des auf ist im dem nicht ein".split()
 _STOP_FR = "le de la et les des en un du une que est pour qui dans par sur au".split()
+_STOP_IT = "il la di che e in un per con non una su le si da come più anche sono".split()
+_STOP_PT = "o a de que e do da em um para com não uma os no se na por mais as".split()
+_STOP_NL = "de het een en van ik te dat die in je niet zijn is was op aan met als voor".split()
+
+# canonical language → stopword lists, PRIORITY ORDER (ties break toward
+# the earlier entry). The oracle SQL in __spark_entry__ imports this list,
+# so the Spark expression and DuckDB re-derivation can never drift.
+LANG_STOPWORDS: list[tuple[str, list[str]]] = [
+    ("en", _STOPWORDS),
+    ("es", _STOP_ES),
+    ("de", _STOP_DE),
+    ("fr", _STOP_FR),
+    ("it", _STOP_IT),
+    ("pt", _STOP_PT),
+    ("nl", _STOP_NL),
+]
 
 
 def _stopword_hits(col: Column, words: list[str]) -> Column:
@@ -121,16 +137,22 @@ def quality_score_cols(text: Column) -> dict[str, Column]:
 
 
 def lang_id_expr(text: Column) -> Column:
-    """Stopword-vote language ID heuristic (en/es/de/fr, else 'und').
+    """Stopword-vote language ID heuristic over ``LANG_STOPWORDS``
+    (en/es/de/fr/it/pt/nl, else 'und').
 
     Scores each language by stopword hit count; ties break by declaration
     order via a stable greatest-score argmax built from a sorted struct array.
     """
+    n = len(LANG_STOPWORDS)
     scores = F.array(
-        F.struct(_stopword_hits(text, _STOPWORDS).alias("hits"), F.lit(3).alias("prio"), F.lit("en").alias("lang")),
-        F.struct(_stopword_hits(text, _STOP_ES).alias("hits"), F.lit(2).alias("prio"), F.lit("es").alias("lang")),
-        F.struct(_stopword_hits(text, _STOP_DE).alias("hits"), F.lit(1).alias("prio"), F.lit("de").alias("lang")),
-        F.struct(_stopword_hits(text, _STOP_FR).alias("hits"), F.lit(0).alias("prio"), F.lit("fr").alias("lang")),
+        *[
+            F.struct(
+                _stopword_hits(text, words).alias("hits"),
+                F.lit(n - 1 - i).alias("prio"),
+                F.lit(code).alias("lang"),
+            )
+            for i, (code, words) in enumerate(LANG_STOPWORDS)
+        ]
     )
     best = F.element_at(F.reverse(F.array_sort(scores)), 1)
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
