@@ -143,3 +143,39 @@ def test_catalog_time_travel_and_retention(spark, tmp_path):
         cat.read("t", version=v1)
     assert cat.read("t", version=v2).collect()[0].v == "b"
     assert cat.read("t").collect()[0].v == "c"
+
+
+def test_bucketed_colocated_join_has_no_shuffle(spark, tmp_path):
+    """Both sides written bucketed by the join key → the sort-merge join
+    plans with ZERO shuffle exchanges (the bucketing carries the
+    partitioning guarantee; only broadcast would otherwise avoid one)."""
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.plans.inspect import exchanges
+    from biocurator_mapper_spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(500).select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+            (F.col("id") * 2).alias("score"),
+        )
+        right = spark.range(400).select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+            (F.col("id") % 7).alias("verdict"),
+        )
+        write_bucketed(left, "t_left_bk", "url", n_buckets=8)
+        write_bucketed(right, "t_right_bk", "url", n_buckets=8)
+        joined = colocated_join(spark, "t_left_bk", "t_right_bk", "url")
+        assert joined.count() == 400
+        assert exchanges(joined) == []  # no shuffle on either side
+        # control: the same join over non-bucketed frames DOES shuffle
+        control = left.join(right, "url")
+        assert len(exchanges(control)) >= 1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_left_bk")
+        spark.sql("DROP TABLE IF EXISTS t_right_bk")
