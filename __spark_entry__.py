@@ -609,6 +609,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
         )
 
+    def text_pii_scrub(spark, sf_dir):
+        from biocurator_mapper_spark.functions.text import pii_counts, redact_pii
+
+        d = _docs(spark, sf_dir)
+        counts = pii_counts(F.col("text"))
+        return d.select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("redacted"),
+            counts["email"].cast("bigint").alias("n_email"),
+            counts["ipv4"].cast("bigint").alias("n_ipv4"),
+            counts["phone"].cast("bigint").alias("n_phone"),
+        )
+
+    def text_repetition(spark, sf_dir):
+        from biocurator_mapper_spark.functions.text import repetition_cols
+
+        d = _docs(spark, sf_dir)
+        cols = repetition_cols(F.col("text"))
+        return d.select(
+            "doc_id",
+            cols["max_word_freq"].cast("bigint").alias("max_word_freq"),
+            cols["max_word_freq_ratio"].alias("max_word_freq_ratio"),
+            cols["dup_line_frac"].alias("dup_line_frac"),
+        )
+
     def text_bpe_token_count(spark, sf_dir):
         from biocurator_mapper_spark.functions.text import bpe_token_count
 
@@ -787,6 +812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_topk": sim_ann_ivf_topk,
         "text_simhash": text_simhash,
         "text_token_count": text_token_count,
+        "text_pii_scrub": text_pii_scrub,
+        "text_repetition": text_repetition,
         "text_bpe_token_count": text_bpe_token_count,
         "events_rollup_report": events_rollup_report,
         "skew_salted_join": skew_salted_join,
@@ -1244,6 +1271,22 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _pii_sql() -> str:
+    """Mirror of redact_pii/pii_counts, generated from the SAME pattern
+    registry (functions/text.py::PII_PATTERNS — RE2-compatible)."""
+    from biocurator_mapper_spark.functions.text import PII_PATTERNS
+
+    red = "text"
+    for name, pat in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{p}', '[{name.upper()}]', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat.replace(chr(39), chr(39) * 2)}'))::BIGINT AS n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    return f"SELECT doc_id, {red} AS redacted, {counts} FROM documents"
+
+
 _CURATION_SQL = None
 
 
@@ -1529,6 +1572,29 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))
                      ::BIGINT AS n_tokens
             FROM documents
+        """,
+        "text_pii_scrub": _pii_sql(),
+        "text_repetition": """
+            WITH tok AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^\\p{L}0-9'']+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            rep AS (
+              SELECT doc_id, t,
+                     coalesce(list_max(list_transform(list_distinct(t),
+                       d -> len(list_filter(t, x -> x = d)))), 0) AS mf,
+                     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                                 l -> l <> '') AS lines
+              FROM tok
+            )
+            SELECT doc_id, mf::BIGINT AS max_word_freq,
+                   CASE WHEN len(t) > 0 THEN mf / len(t)::DOUBLE ELSE 0.0 END
+                     AS max_word_freq_ratio,
+                   CASE WHEN len(lines) > 0
+                        THEN (len(lines) - len(list_distinct(lines))) / len(lines)::DOUBLE
+                        ELSE 0.0 END AS dup_line_frac
+            FROM rep
         """,
         "text_bpe_token_count": r"""
             SELECT doc_id,

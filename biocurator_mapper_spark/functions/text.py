@@ -136,6 +136,63 @@ def quality_score_cols(text: Column) -> dict[str, Column]:
     }
 
 
+# PII patterns, RE2-compatible (run identically in DuckDB oracles): the
+# standard web-corpus scrub set. Order matters — emails first so their
+# host parts aren't half-eaten by later patterns.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+\d[\d().-]{7,}\d"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace each PII class with a typed placeholder (``[EMAIL]`` …) —
+    the pre-training scrub pass. Pure regexp_replace chain (codegen)."""
+    out = text
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-class PII match counts (audit/reporting side of the scrub)."""
+    return {name: F.regexp_count(text, F.lit(pat)) for name, pat in PII_PATTERNS}
+
+
+def repetition_cols(text: Column) -> dict[str, Column]:
+    """Repetition signals (Gopher-style quality rules): the most frequent
+    token's count and share, and the duplicate-line fraction. All integer/
+    exact-ratio expressions so an oracle reproduces them bit-for-bit."""
+    toks = F.filter(F.split(F.lower(text), r"[^\p{L}0-9']+"), lambda t: t != "")
+    n = F.size(toks)
+    max_freq = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda d: F.size(F.filter(toks, lambda t: t == d)),
+            )
+        ),
+        F.lit(0),
+    )
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines)))
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return {
+        "max_word_freq": max_freq,
+        "max_word_freq_ratio": F.when(
+            n > 0, max_freq / n.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "dup_line_frac": dup_line_frac,
+    }
+
+
 def lang_id_expr(text: Column) -> Column:
     """Stopword-vote language ID heuristic over ``LANG_STOPWORDS``
     (en/es/de/fr/it/pt/nl, else 'und').

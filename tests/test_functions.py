@@ -128,3 +128,57 @@ def test_bpe_token_count_examples(spark):
     df = spark.createDataFrame(rows, "i int, t string")
     got = {r.i: r.n for r in df.select("i", bpe_token_count(F.col("t")).alias("n")).collect()}
     assert got == {1: 2, 2: 3, 3: 4, 4: 3, 5: 0}
+
+
+def test_redact_pii_planted(spark):
+    from biocurator_mapper_spark.functions.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "contact alice.smith+x@lab.example.org or bob@x.io today"),
+        (2, "server at 192.168.0.1 and backup 10.0.0.254 online"),
+        (3, "call +1(555)123-4567 now"),
+        (4, "clean text, nothing to scrub"),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    c = pii_counts(F.col("t"))
+    out = {
+        r.i: (r.red, r.ne, r.ni, r.np)
+        for r in df.select(
+            "i",
+            redact_pii(F.col("t")).alias("red"),
+            c["email"].alias("ne"),
+            c["ipv4"].alias("ni"),
+            c["phone"].alias("np"),
+        ).collect()
+    }
+    assert out[1] == ("contact [EMAIL] or [EMAIL] today", 2, 0, 0)
+    assert out[2] == ("server at [IPV4] and backup [IPV4] online", 0, 2, 0)
+    assert out[3] == ("call [PHONE] now", 0, 0, 1)
+    assert out[4] == ("clean text, nothing to scrub", 0, 0, 0)
+
+
+def test_repetition_cols_planted(spark):
+    from biocurator_mapper_spark.functions.text import repetition_cols
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "spam spam spam ham"),        # max freq 3/4
+        (2, "all words here differ"),     # 1/4
+        (3, "a\nb\na\n\n a "),            # lines a,b,a,a → 4 lines, 2 distinct
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    cols = repetition_cols(F.col("t"))
+    out = {
+        r.i: (r.mf, round(r.mr, 6), round(r.dl, 6))
+        for r in df.select(
+            "i",
+            cols["max_word_freq"].alias("mf"),
+            cols["max_word_freq_ratio"].alias("mr"),
+            cols["dup_line_frac"].alias("dl"),
+        ).collect()
+    }
+    assert out[1] == (3, 0.75, 0.0)
+    assert out[2] == (1, 0.25, 0.0)
+    assert out[3][0] == 3  # token 'a' ×3
+    assert out[3][2] == 0.5  # 4 non-empty lines, 2 duplicates
