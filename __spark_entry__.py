@@ -1302,6 +1302,12 @@ WITH t AS (
     len(list_filter(list_filter(string_split_regex(lower(text), '[^\\p{{L}}0-9'']+'), x -> x <> ''),
                     x -> list_contains({stop}, x)))
       / greatest(len(list_filter(string_split_regex(lower(text), '[^\\p{{L}}0-9'']+'), x -> x <> '')), 1)::DOUBLE AS sr,
+    CASE WHEN len(list_filter(string_split_regex(lower(text), '[^\\p{{L}}0-9'']+'), x -> x <> '')) > 0
+         THEN coalesce(list_max(list_transform(
+                list_distinct(list_filter(string_split_regex(lower(text), '[^\\p{{L}}0-9'']+'), x -> x <> '')),
+                d -> len(list_filter(list_filter(string_split_regex(lower(text), '[^\\p{{L}}0-9'']+'), x -> x <> ''), x -> x = d)))), 0)
+              / len(list_filter(string_split_regex(lower(text), '[^\\p{{L}}0-9'']+'), x -> x <> ''))::DOUBLE
+         ELSE 0.0 END AS rr,
     md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
   FROM documents
 ),
@@ -1311,6 +1317,7 @@ g AS (
          WHEN nt < 10 THEN 'too_few_tokens'
          WHEN pr > 0.2 THEN 'too_much_punct'
          WHEN sr < 0.01 THEN 'no_stopwords'
+         WHEN rr > 0.5 THEN 'too_repetitive'
          WHEN lang NOT IN ('en') THEN 'wrong_language' END AS gate
   FROM t
 ),

@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import doc_fingerprint, lang_id_expr, quality_score_cols
+from ..functions.text import (
+    doc_fingerprint,
+    lang_id_expr,
+    quality_score_cols,
+    repetition_cols,
+)
 
 
 def curate(
@@ -34,11 +39,13 @@ def curate(
     min_tokens: int = 10,
     max_punct_ratio: float = 0.2,
     min_stopword_ratio: float = 0.01,
+    max_word_freq_ratio: float = 0.5,
 ) -> DataFrame:
     """docs → kept docs with a ``curation_stage`` column marking survivors
     ('kept') and the first gate each rejected doc failed — one relation
     carries both the output corpus and the funnel report."""
     q = quality_score_cols(F.col(text_col))
+    rep = repetition_cols(F.col(text_col))
     lang = (
         F.col(lang_col) if lang_col and lang_col in docs.columns
         else lang_id_expr(F.col(text_col))
@@ -50,6 +57,7 @@ def curate(
         q["n_tokens"].alias("_nt"),
         q["punct_ratio"].alias("_pr"),
         q["stopword_ratio"].alias("_sr"),
+        rep["max_word_freq_ratio"].alias("_rr"),
         lang.alias("_lang"),
         doc_fingerprint(F.col(text_col)).alias("fingerprint"),
     )
@@ -58,6 +66,9 @@ def curate(
         .when(F.col("_nt") < min_tokens, F.lit("too_few_tokens"))
         .when(F.col("_pr") > max_punct_ratio, F.lit("too_much_punct"))
         .when(F.col("_sr") < min_stopword_ratio, F.lit("no_stopwords"))
+        # Gopher-style repetition rule: one token owning more than
+        # max_word_freq_ratio of the doc marks boilerplate/spam
+        .when(F.col("_rr") > max_word_freq_ratio, F.lit("too_repetitive"))
         .when(~F.col("_lang").isin(list(keep_langs)), F.lit("wrong_language"))
     )
     gated = staged.withColumn("_gate", first_gate)

@@ -196,3 +196,21 @@ def test_pipeline_matches_model_multiple_seeds(spark):
         for url, w in want.items():
             if not w["ambiguous"]:
                 assert got[url] == (w["obj"], w["mention"]), (seed, url)
+
+def test_curation_repetition_gate(spark):
+    """A doc dominated by one token trips 'too_repetitive' before the
+    language gate; normal prose passes (Gopher-style rule)."""
+    from biocurator_mapper_spark.pipeline.curation import curate
+
+    filler = (
+        "the quick brown fox jumps over a lazy dog and then walks into the "
+        "house where it sits by the fire for a while resting its paws"
+    )
+    spammy = ("buy " * 40) + filler  # 'buy' owns >50% of tokens
+    docs = spark.createDataFrame(
+        [(1, filler * 2, "en"), (2, spammy, "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.doc_id: r.curation_stage for r in curate(docs).collect()}
+    assert got[1] == "kept"
+    assert got[2] == "too_repetitive"
