@@ -512,6 +512,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _dc(_docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5)
 
+    def dedup_cross_pairs(spark, sf_dir):
+        # train/eval decontamination primitive: cross-corpus LSH pairs
+        from biocurator_mapper_spark.operators.dedup import cross_minhash_pairs
+
+        d = _docs(spark, sf_dir)
+        return cross_minhash_pairs(
+            d.where(F.col("doc_id") % 20 != 0),
+            d.where(F.col("doc_id") % 20 == 0),
+            "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5,
+        )
+
+    def dedup_decontaminate(spark, sf_dir):
+        from biocurator_mapper_spark.operators.dedup import decontaminate
+
+        d = _docs(spark, sf_dir)
+        return decontaminate(
+            d.where(F.col("doc_id") % 20 != 0).select("doc_id", "source", "text"),
+            d.where(F.col("doc_id") % 20 == 0),
+            "doc_id", "text", threshold=0.5,
+        ).select("doc_id", "source")
+
     def text_ngram_freq(spark, sf_dir):
         from biocurator_mapper_spark.operators.dedup import ngram_frequencies
 
@@ -804,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_clusters": dedup_clusters,
+        "dedup_cross_pairs": dedup_cross_pairs,
+        "dedup_decontaminate": dedup_decontaminate,
         "text_ngram_freq": text_ngram_freq,
         "emb_near_dup_pairs": emb_near_dup_pairs,
         "media_features_sha": media_features_sha,
@@ -924,6 +947,43 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -
         f"WITH {_minhash_pairs_ctes(num_hashes, bands, threshold)} "
         "SELECT id_a, id_b, jaccard FROM mh_pairs"
     )
+
+
+# decontamination split used by the dedup_cross_* contract queries: every
+# 20th doc plays the benchmark/eval set, the rest the training corpus
+_BENCH_COND = "doc_id % 20 = 0"
+_CORPUS_COND = "doc_id % 20 <> 0"
+
+
+def _cross_minhash_ctes(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """CTE body ending in ``cross_pairs(corpus_id, benchmark_id, jaccard)``
+    — banded LSH across the corpus/benchmark split (same seeds as the
+    within-corpus oracle, so signatures agree)."""
+    base = _minhash_pairs_ctes(num_hashes, bands, threshold)
+    # reuse everything up to (and including) `banded`; replace the pairing
+    head, _sep, _tail = base.partition("cand AS (")
+    return f"""{head}cross_cand AS (
+  SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS benchmark_id
+  FROM banded a JOIN banded b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val
+  WHERE a.{_CORPUS_COND} AND b.{_BENCH_COND}
+),
+cross_verified AS (
+  SELECT c.corpus_id, c.benchmark_id,
+         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+           / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+           AS jaccard
+  FROM cross_cand c
+  JOIN sh sa ON sa.doc_id = c.corpus_id
+  JOIN sh sb ON sb.doc_id = c.benchmark_id
+),
+cross_pairs AS (
+  SELECT corpus_id, benchmark_id, jaccard
+  FROM cross_verified WHERE jaccard >= {threshold}
+)
+"""
 
 
 def _lang_votes_sql() -> str:
@@ -1540,6 +1600,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE i.n_inter / (za.sz + zb.sz - i.n_inter)::DOUBLE >= 0.5
         """,
         "dedup_minhash_lsh": _minhash_sql(16, 4, 0.5),
+        "dedup_cross_pairs": (
+            f"WITH {_cross_minhash_ctes(16, 4, 0.5)} "
+            "SELECT corpus_id, benchmark_id, jaccard FROM cross_pairs"
+        ),
+        "dedup_decontaminate": f"""
+            WITH {_cross_minhash_ctes(16, 4, 0.5)}
+            SELECT doc_id, source FROM documents
+            WHERE {_CORPUS_COND}
+              AND doc_id NOT IN (SELECT corpus_id FROM cross_pairs)
+        """,
         "dedup_clusters": f"""
             -- closure over the LSH-verified pair set (the operator's
             -- scale-safe default), not the exact all-pairs set

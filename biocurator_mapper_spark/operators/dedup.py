@@ -191,17 +191,51 @@ def minhash_lsh_pairs(
     4. exact Jaccard verification joins the candidate ids back to their
        shingle sets (computed once per side).
     """
+    # signatures/bands/sets come from the shared helper (see
+    # _banded_signatures): the 16 md5s/shingle run once in the partial-agg
+    # stage after an adaptive round-robin split fix, and the exact-verify
+    # shingle SETS are rebuilt from the already-shuffled exploded rows
+    # (ReusedExchange) instead of re-evaluating the HOF chain per side.
+    banded, sets = _banded_signatures(df, id_col, text_col, n, num_hashes, bands)
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band_no", "band_val"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sb = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size("_sha") + F.size("_shb") - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0)),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(banded(_id, band_no, band_val), sets(_id, _sh)) for one corpus —
+    the shared explode→hash-agg signature path of the LSH family."""
     rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("_id"),
         shingles_expr(F.col(text_col), n).alias("_sh"),
     ).where(F.size("_sh") > 0)
     exploded = base.select("_id", F.explode("_sh").alias("shingle"))
-    # the 16 md5s/shingle run in the partial-agg stage, which inherits the
-    # INPUT's split count — an under-partitioned source (tiny file, single
-    # kafka partition) would serialize all hashing; one cheap round-robin
-    # shuffle of the raw shingle rows buys full parallelism. Properly split
-    # inputs (the 100 TB case) skip this.
     spark = df.sparkSession
     default_p = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(default_p // 2, 1):
@@ -231,32 +265,64 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("_id", F.col("band.band_no"), F.col("band.band_val"))
+    sets = exploded.groupBy("_id").agg(F.collect_list("shingle").alias("_sh"))
+    return banded, sets
+
+
+def cross_minhash_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(corpus_id, benchmark_id, jaccard) pairs ACROSS two corpora with
+    Jaccard ≥ threshold — the train/eval decontamination primitive. Same
+    banded-LSH shape as ``minhash_lsh_pairs`` (identical seeds, so signatures
+    agree across the two sides), but the candidate join pairs corpus bands
+    against benchmark bands only: cost scales with band collisions, never
+    |corpus| × |benchmark|."""
+    ba, sa = _banded_signatures(corpus, id_col, text_col, n, num_hashes, bands)
+    bb, sb = _banded_signatures(benchmark, id_col, text_col, n, num_hashes, bands)
     cands = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band_no", "band_val"])
-        .where(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        ba.join(bb.withColumnRenamed("_id", "_bid"), ["band_no", "band_val"])
+        .select(F.col("_id").alias("corpus_id"), F.col("_bid").alias("benchmark_id"))
         .distinct()
     )
-    # exact-verify sides rebuild the shingle SETS from the already-shuffled
-    # exploded rows (ReusedExchange with the signature aggregate) instead of
-    # re-evaluating the shingle HOF expressions over the whole corpus twice
-    # more — one extra hash aggregate replaces two full interpreted passes
-    sets = exploded.groupBy("_id").agg(F.collect_list("shingle").alias("_sh"))
-    sa = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    sb = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     union = F.size("_sha") + F.size("_shb") - inter
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(sa.select(F.col("_id").alias("corpus_id"), F.col("_sh").alias("_sha")), "corpus_id")
+        .join(sb.select(F.col("_id").alias("benchmark_id"), F.col("_sh").alias("_shb")), "benchmark_id")
         .withColumn(
             "jaccard",
             F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0)),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("corpus_id", "benchmark_id", "jaccard")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Corpus rows that are NOT near-duplicates of any benchmark document
+    (train/test contamination removal): cross-LSH pairs → anti-join."""
+    contaminated = cross_minhash_pairs(
+        corpus, benchmark, id_col, text_col, n=n, num_hashes=num_hashes,
+        bands=bands, threshold=threshold,
+    ).select(F.col("corpus_id").alias(id_col)).distinct()
+    return corpus.join(contaminated, id_col, "left_anti")
 
 
 def dedup_clusters(

@@ -110,3 +110,31 @@ def test_simhash_identical_docs_zero_distance(spark, docs):
     by_id = {r.doc_id: r.sh for r in s}
     assert by_id[0] == by_id[100]
     assert by_id[1] == by_id[102]  # case-insensitive tokens
+
+
+def test_decontaminate_removes_benchmark_near_dups(spark, docs):
+    """Train/eval decontamination: corpus docs near-duplicating a benchmark
+    doc are dropped; unrelated docs survive."""
+    from biocurator_mapper_spark.operators.dedup import (
+        cross_minhash_pairs,
+        decontaminate,
+    )
+
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    # benchmark: doc 0's text verbatim + one doc-1 near-dup + a unique doc
+    bench = spark.createDataFrame(
+        [(900, rows[0]), (901, rows[1] + " extra"), (902, "totally novel benchmark prose here")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.corpus_id, r.benchmark_id)
+        for r in cross_minhash_pairs(docs, bench, "doc_id", "text").collect()
+    }
+    assert (0, 900) in pairs  # exact copy always collides + verifies
+    assert (100, 900) in pairs  # doc 100 duplicates doc 0 in the corpus
+    clean_ids = {
+        r.doc_id for r in decontaminate(docs, bench, "doc_id", "text").collect()
+    }
+    assert 0 not in clean_ids and 100 not in clean_ids
+    contaminated = {c for c, _ in pairs}
+    assert clean_ids == {r.doc_id for r in docs.collect()} - contaminated
