@@ -630,6 +630,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
         )
 
+    def sample_stratified(spark, sf_dir):
+        # deterministic data-mixing recipe: per-source keep fractions via
+        # id-hash thresholds (same rows every run, every engine)
+        from biocurator_mapper_spark.operators.sampling import stratified_sample
+
+        return stratified_sample(
+            _docs(spark, sf_dir).select("doc_id", "source"),
+            "source",
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+            "doc_id",
+            default_fraction=0.1,
+        )
+
+    def sample_capped(spark, sf_dir):
+        # head-domain cap: at most 5 docs per source, by id-hash order
+        from biocurator_mapper_spark.operators.sampling import cap_per_stratum
+
+        return cap_per_stratum(
+            _docs(spark, sf_dir).select("doc_id", "source"), "source", 5, "doc_id"
+        )
+
     def text_pii_scrub(spark, sf_dir):
         from biocurator_mapper_spark.functions.text import pii_counts, redact_pii
 
@@ -835,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_topk": sim_ann_ivf_topk,
         "text_simhash": text_simhash,
         "text_token_count": text_token_count,
+        "sample_stratified": sample_stratified,
+        "sample_capped": sample_capped,
         "text_pii_scrub": text_pii_scrub,
         "text_repetition": text_repetition,
         "text_bpe_token_count": text_bpe_token_count,
@@ -1649,6 +1672,23 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))
                      ::BIGINT AS n_tokens
             FROM documents
+        """,
+        "sample_stratified": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+                  < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                                WHEN 'src2' THEN 0.25 ELSE 0.1 END * 65536
+        """,
+        "sample_capped": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT ASC,
+                                doc_id ASC
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 5
         """,
         "text_pii_scrub": _pii_sql(),
         "text_repetition": """

@@ -247,3 +247,35 @@ def test_pyahocorasick_fast_path_parity(spark):
     finally:
         M._pyahocorasick = saved
     assert fast == slow
+
+
+def test_stratified_sample_and_cap_deterministic(spark):
+    from biocurator_mapper_spark.operators.sampling import (
+        cap_per_stratum,
+        stratified_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4)).alias("source"),
+    )
+    frac = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+    a = stratified_sample(df, "source", frac, "doc_id", default_fraction=0.25)
+    b = stratified_sample(df, "source", frac, "doc_id", default_fraction=0.25)
+    ra = {(r.doc_id, r.source) for r in a.collect()}
+    assert ra == {(r.doc_id, r.source) for r in b.collect()}  # run-stable
+    by_src = {}
+    for _, s in ra:
+        by_src[s] = by_src.get(s, 0) + 1
+    assert by_src["s0"] == 250  # fraction 1.0 keeps everything
+    assert "s2" not in by_src  # fraction 0 drops everything
+    assert 85 <= by_src["s1"] <= 165  # ~50% of 250, hash noise allowed
+    assert 30 <= by_src.get("s3", 0) <= 95  # default 25%
+
+    capped = cap_per_stratum(df, "source", 7, "doc_id")
+    counts = {r.source: r.n for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"s0": 7, "s1": 7, "s2": 7, "s3": 7}
+    # same selection on re-run
+    again = {r.doc_id for r in cap_per_stratum(df, "source", 7, "doc_id").collect()}
+    assert again == {r.doc_id for r in capped.collect()}
