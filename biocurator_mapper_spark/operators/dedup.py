@@ -114,8 +114,10 @@ def ngram_jaccard_pairs(
     # Two birds with one round-robin shuffle of the shingle rows: (1) an
     # under-partitioned source (one parquet split) would evaluate the
     # shingle HOFs single-threaded; (2) this plan consumes `sh` from four
-    # subtrees (a/b/sizes/hot) — the exchange becomes a ReusedExchange
-    # point, so the shingle expressions run ONCE instead of per consumer.
+    # subtrees (a/b/sizes/hot) — the exchange's map side materializes once
+    # and the scheduler SKIPS it for every later consumer (verified: the
+    # map stage shows completed once, then numCompletedTasks=0 skips), so
+    # the shingle expressions run ONCE instead of per consumer.
     spark = df.sparkSession
     default_p = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(default_p // 2, 1):
@@ -195,7 +197,8 @@ def minhash_lsh_pairs(
     # _banded_signatures): the 16 md5s/shingle run once in the partial-agg
     # stage after an adaptive round-robin split fix, and the exact-verify
     # shingle SETS are rebuilt from the already-shuffled exploded rows
-    # (ReusedExchange) instead of re-evaluating the HOF chain per side.
+    # (the scheduler skips the materialized shuffle map stage on reuse)
+    # instead of re-evaluating the HOF chain per side.
     banded, sets = _banded_signatures(df, id_col, text_col, n, num_hashes, bands)
     cands = (
         banded.alias("a")
