@@ -54,23 +54,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# (term_id, name, definition, exact_syn, narrow, broad, related, all_syn,
+#  xrefs, namespace) — shared by _vocab_terms AND the independent Python
+# re-derivation behind the kg_triples oracle.
+VOCAB_ROWS: list[tuple] = [
+    ("OP:0001", "table scan", "A full pass over a table reading every row in storage order.",
+     ["scan join"], [], [], [], ["scan join"], ["XOP:SCAN"], "exec"),
+    ("OP:0002", "hash join", "An equi join implemented by building a hash table on one side.",
+     ["merge join"], ["sort merge"], [], [], ["merge join", "sort merge"], ["XOP:JOIN"], "exec"),
+    ("OP:0003", "window agg", "An aggregation computed over a sliding or partitioned window frame.",
+     [], [], [], [], [], ["XOP:AGG"], "exec"),
+    ("OP:0004", "batch stream", "A micro batch execution mode for continuous streaming data.",
+     [], [], [], [], [], ["XOP:STREAM"], "exec"),
+    ("OP:0005", "key order", "Maintaining rows sorted by key for downstream merge operators.",
+     ["order sort"], [], [], [], ["order sort"], ["XOP:SORT", "XOP:JOIN"], "exec"),
+]
+
+
 def _vocab_terms(spark: SparkSession) -> DataFrame:
     """Tiny 'query-operators ontology' whose surfaces occur in `documents` —
     the dimension table for the flagship pipeline over testdata."""
-    rows = [
-        ("OP:0001", "table scan", "A full pass over a table reading every row in storage order.",
-         ["scan join"], [], [], [], ["scan join"], ["XOP:SCAN"], "exec"),
-        ("OP:0002", "hash join", "An equi join implemented by building a hash table on one side.",
-         ["merge join"], ["sort merge"], [], [], ["merge join", "sort merge"], ["XOP:JOIN"], "exec"),
-        ("OP:0003", "window agg", "An aggregation computed over a sliding or partitioned window frame.",
-         [], [], [], [], [], ["XOP:AGG"], "exec"),
-        ("OP:0004", "batch stream", "A micro batch execution mode for continuous streaming data.",
-         [], [], [], [], [], ["XOP:STREAM"], "exec"),
-        ("OP:0005", "key order", "Maintaining rows sorted by key for downstream merge operators.",
-         ["order sort"], [], [], [], ["order sort"], ["XOP:SORT", "XOP:JOIN"], "exec"),
-    ]
     return spark.createDataFrame(
-        rows,
+        VOCAB_ROWS,
         "term_id string, name string, definition string, exact_synonyms array<string>, "
         "narrow_synonyms array<string>, broad_synonyms array<string>, "
         "related_synonyms array<string>, all_synonyms array<string>, "
@@ -731,8 +736,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def kg_triples(spark, sf_dir):
-        # full pipeline (extract → mentions → score → rerank → canonicalize);
-        # hash-embedding scores are not SQL-expressible → rows-only check
+        # full pipeline (extract → mentions → score → rerank → canonicalize).
+        # The embedding certainties aren't SQL-expressible, so the oracle
+        # inlines rows re-derived by the independent plain-Python
+        # implementation (testdata/kg_oracle.py, see _kg_triples_sql)
         pages = _docs_as_pages(spark, sf_dir)
         return build_triples(pages, _vocab_terms(spark)).select(
             "subj", "pred", "obj", "mention", "confidence"
@@ -1354,6 +1361,38 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _kg_triples_sql() -> str:
+    """The flagship pipeline's oracle: the expected rows are re-derived by
+    an INDEPENDENT plain-Python implementation (testdata/kg_oracle.py —
+    zero shared plan code; hash-embedding certainties are not expressible
+    in SQL) and inlined as a VALUES table; float32 confidences round-trip
+    through ::FLOAT. The same derivation is asserted bit-exact in
+    tests/test_kg_differential.py."""
+    import os as _os
+
+    from biocurator_mapper_spark.testdata.kg_oracle import expected_triples
+
+    sf_dir = _os.environ.get(_ORACLE_SF_DIR_ENV, "/root/testdata/sf0.01")
+    rows = expected_triples(sf_dir, VOCAB_ROWS)
+    if not rows:
+        return (
+            "SELECT NULL::VARCHAR AS subj, NULL::VARCHAR AS pred, "
+            "NULL::VARCHAR AS obj, NULL::VARCHAR AS mention, "
+            "NULL::FLOAT AS confidence WHERE false"
+        )
+    q = lambda s: s.replace("'", "''")  # noqa: E731
+    # ::DOUBLE first: DuckDB's DECIMAL-literal → FLOAT conversion is lossy
+    # (1-ulp drift observed); DECIMAL → DOUBLE → FLOAT rounds correctly
+    vals = ",\n  ".join(
+        f"('{q(s)}', '{q(p)}', '{q(o)}', '{q(m)}', {c!r}::DOUBLE::FLOAT)"
+        for s, p, o, m, c in rows
+    )
+    return (
+        f"SELECT * FROM (VALUES\n  {vals}\n) "
+        "AS t(subj, pred, obj, mention, confidence)"
+    )
+
+
 def _pii_sql() -> str:
     """Mirror of redact_pii/pii_counts, generated from the SAME pattern
     registry (functions/text.py::PII_PATTERNS — RE2-compatible)."""
@@ -1796,6 +1835,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN canon_map cm ON cm.term_id = o.term_id
             JOIN mention_pick m ON m.doc_id = o.doc_id AND m.term_id = o.term_id
         """,
+        "kg_triples": _kg_triples_sql(),
         "kg_mention_recall": f"""
             SELECT d.doc_id, dic.term_id, count(*) AS n_surfaces
             FROM documents d, {_dict_values_sql()}
