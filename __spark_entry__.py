@@ -635,6 +635,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
         )
 
+    def lex_bm25_topk(spark, sf_dir):
+        # lexical candidate generation: BM25 top-k (TakeOrdered, no global
+        # sort); corpus stats + idf logs inlined driver-side so the oracle
+        # reproduces the doubles bit-for-bit
+        from biocurator_mapper_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(
+            _docs(spark, sf_dir), ["hash", "join", "stream"], k=20
+        )
+
     def sample_stratified(spark, sf_dir):
         # deterministic data-mixing recipe: per-source keep fractions via
         # id-hash thresholds (same rows every run, every engine)
@@ -863,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_topk": sim_ann_ivf_topk,
         "text_simhash": text_simhash,
         "text_token_count": text_token_count,
+        "lex_bm25_topk": lex_bm25_topk,
         "sample_stratified": sample_stratified,
         "sample_capped": sample_capped,
         "text_pii_scrub": text_pii_scrub,
@@ -1393,6 +1404,53 @@ def _kg_triples_sql() -> str:
     )
 
 
+def _bm25_sql(
+    query_terms: list[str], k: int = 20, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Mirror of operators/retrieval.py::bm25_topk: stats recomputed from
+    the parquet driver-side (exact integers), idf logs taken in Python and
+    inlined via '…'::DOUBLE (string→double parse is correctly rounded;
+    decimal literals are not), score chain in the same fold order."""
+    import os as _os
+
+    import duckdb as _duckdb
+
+    from biocurator_mapper_spark.operators.retrieval import bm25_idf
+
+    sf_dir = _os.environ.get(_ORACLE_SF_DIR_ENV, "/root/testdata/sf0.01")
+    con = _duckdb.connect()
+    tok = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    df_cols = ", ".join(
+        f"sum(CASE WHEN list_contains({tok}, '{t}') THEN 1 ELSE 0 END)::BIGINT"
+        for t in query_terms
+    )
+    row = con.execute(
+        f"SELECT count(*)::BIGINT, sum(len({tok}))::BIGINT, {df_cols} "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()
+    con.close()
+    n, dl_sum = int(row[0]), int(row[1])
+    avgdl = dl_sum / n if n else 0.0
+    d = lambda v: f"('{v!r}'::DOUBLE)"  # noqa: E731
+    terms_sql = []
+    for i, t in enumerate(query_terms):
+        idf = bm25_idf(n, int(row[2 + i]))
+        tf = f"len(list_filter(t, x -> x = '{t}'))::DOUBLE"
+        denom = f"({tf} + {d(k1)} * ({d(1.0 - b)} + {d(b)} * dl / {d(avgdl)}))"
+        terms_sql.append(f"{d(idf)} * ({tf} * {d(k1 + 1.0)} / {denom})")
+    score = " + ".join([d(0.0), *terms_sql])
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {tok} AS t, len({tok})::DOUBLE AS dl FROM documents
+),
+scored AS (SELECT doc_id, {score} AS score FROM tok)
+SELECT doc_id, score FROM scored
+WHERE score > 0.0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def _pii_sql() -> str:
     """Mirror of redact_pii/pii_counts, generated from the SAME pattern
     registry (functions/text.py::PII_PATTERNS — RE2-compatible)."""
@@ -1712,6 +1770,7 @@ def oracle_sql() -> dict[str, str]:
                      ::BIGINT AS n_tokens
             FROM documents
         """,
+        "lex_bm25_topk": _bm25_sql(["hash", "join", "stream"], 20),
         "sample_stratified": """
             SELECT doc_id, source FROM documents
             WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT

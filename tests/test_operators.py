@@ -279,3 +279,26 @@ def test_stratified_sample_and_cap_deterministic(spark):
     # same selection on re-run
     again = {r.doc_id for r in cap_per_stratum(df, "source", 7, "doc_id").collect()}
     assert again == {r.doc_id for r in capped.collect()}
+
+
+def test_bm25_topk_ranks_and_plan(spark):
+    from biocurator_mapper_spark.operators.retrieval import bm25_topk
+    from biocurator_mapper_spark.plans.inspect import _plan_string
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join hash plans beat loops"),
+            (2, "a single hash appears here among many many other words padding"),
+            (3, "nothing relevant whatsoever in this document at all"),
+            (4, "join join join"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["hash", "join"], k=3)
+    rows = out.collect()
+    ids = [r.doc_id for r in rows]
+    assert ids[0] == 1  # both terms, high tf, short doc
+    assert 3 not in ids  # zero-score docs excluded
+    assert rows[0].score > rows[-1].score > 0
+    plan = _plan_string(out)
+    assert "TakeOrderedAndProject" in plan  # top-k heap, no global sort
