@@ -231,3 +231,27 @@ def test_resolver_llm_rerank_and_explanation(spark, terms):
     )
     assert bad["best_match"]["id"] == base["best_match"]["id"]  # stub fallback
     assert "invalid ID" in bad["llm_error"]
+
+
+def test_with_llm_explanations_batch(spark):
+    """M6 batch stage: replaces the deterministic reason with the model's
+    sentence per row (mapInPandas; provider callable ships by value)."""
+    from biocurator_mapper_spark.pipeline.providers import with_llm_explanations
+
+    def chat(prompt):
+        assert prompt.startswith("Explain in 2-3 sentences")
+        # echo the term id back so each row's reply is distinguishable
+        import re
+
+        m = re.search(r"\((\w+:\d+)\)", prompt)
+        return f"explained {m.group(1)}"
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "passage one", "apoptosis", "GO:0001", "d1", "old reason"),
+            ("u2", "passage two", "other", "GO:0002", "d2", "old reason"),
+        ],
+        "url string, passage string, name string, term_id string, definition string, reason string",
+    )
+    out = {r.url: r.reason for r in with_llm_explanations(df, chat).collect()}
+    assert out == {"u1": "explained GO:0001", "u2": "explained GO:0002"}
