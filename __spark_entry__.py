@@ -831,7 +831,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_surfaces")
         )
 
+    # NOTE on ordering: the driver snapshots correctness rows in dict order
+    # and may stop at a time budget (round 2 recorded only the first 50 of
+    # 58). The flagship pipeline query and the queries added latest run
+    # FIRST so a truncated snapshot still covers them.
     return {
+        "kg_triples": kg_triples,
+        "kg_exact_winner": kg_exact_winner,
+        "kg_co_mentions": kg_co_mentions,
+        "kg_exact_degree": kg_exact_degree,
+        "j7_canonical_mapping": j7_canonical_mapping,
+        "kg_mention_recall": kg_mention_recall,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint": text_fingerprint,
         "p1_parse_terms": p1_parse_terms,
         "p2_curie_normalize": p2_curie_normalize,
         "p7_searchable_text": p7_searchable_text,
@@ -882,14 +894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_report": events_rollup_report,
         "skew_salted_join": skew_salted_join,
         "text_quality": text_quality,
-        "text_lang_id": text_lang_id,
-        "text_fingerprint": text_fingerprint,
-        "kg_triples": kg_triples,
-        "kg_exact_winner": kg_exact_winner,
-        "kg_co_mentions": kg_co_mentions,
-        "kg_exact_degree": kg_exact_degree,
-        "j7_canonical_mapping": j7_canonical_mapping,
-        "kg_mention_recall": kg_mention_recall,
     }
 
 
