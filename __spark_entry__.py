@@ -680,15 +680,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def text_repetition(spark, sf_dir):
-        from biocurator_mapper_spark.functions.text import repetition_cols
+        from biocurator_mapper_spark.functions.text import repetition_struct
 
+        # materialize the struct in its own projection, THEN fan out the
+        # fields — the HOF chain evaluates once per row, not per column
         d = _docs(spark, sf_dir)
-        cols = repetition_cols(F.col("text"))
-        return d.select(
+        return d.withColumn("_rep", repetition_struct(F.col("text"))).select(
             "doc_id",
-            cols["max_word_freq"].cast("bigint").alias("max_word_freq"),
-            cols["max_word_freq_ratio"].alias("max_word_freq_ratio"),
-            cols["dup_line_frac"].alias("dup_line_frac"),
+            F.col("_rep.max_word_freq").alias("max_word_freq"),
+            F.col("_rep.max_word_freq_ratio").alias("max_word_freq_ratio"),
+            F.col("_rep.dup_line_frac").alias("dup_line_frac"),
         )
 
     def text_bpe_token_count(spark, sf_dir):

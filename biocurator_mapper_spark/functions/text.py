@@ -160,21 +160,24 @@ def pii_counts(text: Column) -> dict[str, Column]:
     return {name: F.regexp_count(text, F.lit(pat)) for name, pat in PII_PATTERNS}
 
 
-def repetition_cols(text: Column) -> dict[str, Column]:
-    """Repetition signals (Gopher-style quality rules): the most frequent
-    token's count and share, and the duplicate-line fraction. All integer/
-    exact-ratio expressions so an oracle reproduces them bit-for-bit."""
+def repetition_struct(text: Column) -> Column:
+    """Repetition signals (Gopher-style quality rules) as ONE struct column:
+    most-frequent-token count + share, duplicate-line fraction. All integer/
+    exact-ratio expressions so an oracle reproduces them bit-for-bit.
+
+    Most-frequent-token count runs in O(n log n): sort the token array,
+    then the longest equal-run in ONE aggregate pass whose finish lambda
+    emits the whole output struct (count, ratio, dup-line fraction) — so
+    the plan holds exactly one split / one sort / one pass per row. This
+    replaces the former distinct×n refilter (quadratic per document — a
+    100k-token page cost ~10⁹ comparisons inside a single task).
+
+    Returned as a single struct on purpose: materialize it in its own
+    projection (``.withColumn("_rep", repetition_struct(...))``) and derive
+    the outputs in a SECOND select — higher-order expressions get no CSE
+    across columns within one projection, so fanning this into N columns
+    directly would evaluate the whole chain N times per row."""
     toks = F.filter(F.split(F.lower(text), r"[^\p{L}0-9']+"), lambda t: t != "")
-    n = F.size(toks)
-    max_freq = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda d: F.size(F.filter(toks, lambda t: t == d)),
-            )
-        ),
-        F.lit(0),
-    )
     lines = F.filter(
         F.transform(F.split(text, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
     )
@@ -184,12 +187,49 @@ def repetition_cols(text: Column) -> dict[str, Column]:
         (n_lines - F.size(F.array_distinct(lines)))
         / n_lines.cast("double"),
     ).otherwise(F.lit(0.0))
+
+    def _merge(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"]).otherwise(F.lit(0)) + 1
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (acc["n"] + 1).alias("n"),
+        )
+
+    def _finish(acc: Column) -> Column:
+        return F.struct(
+            acc["best"].cast("bigint").alias("max_word_freq"),
+            F.when(acc["n"] > 0, acc["best"] / acc["n"].cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("max_word_freq_ratio"),
+            dup_line_frac.alias("dup_line_frac"),
+        )
+
+    return F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("n"),
+        ),
+        _merge,
+        _finish,
+    )
+
+
+def repetition_cols(text: Column) -> dict[str, Column]:
+    """Dict view of :func:`repetition_struct` for single-column consumers.
+
+    Each value is an independent full expression — use at most ONE of them
+    per projection; for two or more outputs, materialize
+    ``repetition_struct`` once and project its fields instead."""
+    s = repetition_struct(text)
     return {
-        "max_word_freq": max_freq,
-        "max_word_freq_ratio": F.when(
-            n > 0, max_freq / n.cast("double")
-        ).otherwise(F.lit(0.0)),
-        "dup_line_frac": dup_line_frac,
+        "max_word_freq": s["max_word_freq"],
+        "max_word_freq_ratio": s["max_word_freq_ratio"],
+        "dup_line_frac": s["dup_line_frac"],
     }
 
 
@@ -199,17 +239,38 @@ def lang_id_expr(text: Column) -> Column:
 
     Scores each language by stopword hit count; ties break by declaration
     order via a stable greatest-score argmax built from a sorted struct array.
-    """
+
+    Tokenizes ONCE: a single ``split`` feeds one ``aggregate`` pass that
+    accumulates all 7 per-language hit counters (the former per-language
+    ``_stopword_hits`` re-split and re-scanned the text 7×), and the argmax
+    runs in the aggregate's finish lambda so the counter array is never
+    fanned into multiple referencing expressions."""
     n = len(LANG_STOPWORDS)
-    scores = F.array(
-        *[
-            F.struct(
-                _stopword_hits(text, words).alias("hits"),
-                F.lit(n - 1 - i).alias("prio"),
-                F.lit(code).alias("lang"),
-            )
-            for i, (code, words) in enumerate(LANG_STOPWORDS)
-        ]
+    word_arrays = [
+        F.array(*[F.lit(w) for w in words]) for _, words in LANG_STOPWORDS
+    ]
+    lang_codes = F.array(*[F.lit(code) for code, _ in LANG_STOPWORDS])
+    toks = F.split(F.lower(text), r"[^\p{L}0-9']+")
+
+    def _merge(acc: Column, t: Column) -> Column:
+        hits = F.array(
+            *[F.array_contains(wa, t).cast("int") for wa in word_arrays]
+        )
+        return F.zip_with(acc, hits, lambda a, b: a + b)
+
+    def _finish(acc: Column) -> Column:
+        scores = F.transform(
+            acc,
+            lambda hits, i: F.struct(
+                hits.alias("hits"),
+                (F.lit(n - 1) - i).alias("prio"),
+                # 1-based element_at; i is the 0-based transform index
+                F.try_element_at(lang_codes, i + F.lit(1)).alias("lang"),
+            ),
+        )
+        best = F.try_element_at(F.reverse(F.array_sort(scores)), F.lit(1))
+        return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return F.aggregate(
+        toks, F.array(*[F.lit(0)] * n), _merge, _finish
     )
-    best = F.element_at(F.reverse(F.array_sort(scores)), 1)
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
