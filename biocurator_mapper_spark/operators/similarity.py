@@ -107,17 +107,28 @@ def lsh_topk(
     Both sides shuffle ONLY on bucket id (balanced by construction —
     hyperplanes split the space evenly), never on an all-pairs key.
     """
+    # Candidate generation moves ID PAIRS only: the bucket-join exchanges
+    # and the dedup exchange carry ~50 B/row instead of dragging both
+    # embedding columns (~12 KB/row at production dims) through three
+    # shuffles. Vectors rejoin AFTER dedup — each side's embeddings cross
+    # the wire exactly once, and the final join hashes on the query id so
+    # the top-k window reuses that partitioning (no extra exchange).
     q = with_lsh_buckets(queries, query_vec, dim, n_planes, n_tables, seed).select(
-        query_id_col, query_vec, F.explode("lsh_buckets").alias("bucket")
+        query_id_col, F.explode("lsh_buckets").alias("bucket")
     )
     c = with_lsh_buckets(corpus, corpus_vec, dim, n_planes, n_tables, seed).select(
-        corpus_id_col, corpus_vec, F.explode("lsh_buckets").alias("bucket")
+        corpus_id_col, F.explode("lsh_buckets").alias("bucket")
     )
-    cands = (
+    pairs = (
         q.join(c, "bucket")
         .drop("bucket")
         .dropDuplicates([query_id_col, corpus_id_col])
+    )
+    cands = (
+        pairs.join(corpus.select(corpus_id_col, corpus_vec), corpus_id_col)
+        .join(queries.select(query_id_col, query_vec), query_id_col)
         .withColumn("cosine", cosine_expr(F.col(query_vec), F.col(corpus_vec)))
+        .drop(query_vec, corpus_vec)
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(corpus_id_col))
     return (
@@ -260,10 +271,14 @@ def ivf_topk(
     q_assigned = queries.withColumn(
         "_cent", F.explode(_assign_udf(nprobe)(F.col(query_vec)))
     )
+    # No pair dedup needed (unlike LSH multi-table): every corpus row is
+    # assigned to exactly ONE centroid and a query's nprobe probes are
+    # distinct, so a (query, corpus) pair occurs at most once — skipping
+    # dropDuplicates removes a whole exchange that would otherwise drag
+    # both embedding columns through the wire a second time.
     cands = (
         q_assigned.join(c_assigned, "_cent")
         .drop("_cent")
-        .dropDuplicates([query_id_col, corpus_id_col])
         .withColumn("cosine", cosine_expr(F.col(query_vec), F.col(corpus_vec)))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(corpus_id_col))
@@ -292,15 +307,25 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold (LSH-bucketed
     self-join + exact verification). Higher thresholds need fewer planes."""
+    # Same id-pairs-only shape as lsh_topk: the bucket self-join and the
+    # pair dedup shuffle bare ids; the vectors rejoin once per side for the
+    # exact verification score.
     b = with_lsh_buckets(df, vec_col, dim, n_planes, n_tables, seed).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.explode("lsh_buckets").alias("bucket")
+        F.col(id_col).alias("_id"), F.explode("lsh_buckets").alias("bucket")
     )
-    a = b.select("bucket", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    bb = b.select("bucket", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-    return (
+    a = b.select("bucket", F.col("_id").alias("id_a"))
+    bb = b.select("bucket", F.col("_id").alias("id_b"))
+    pairs = (
         a.join(bb, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
+        .drop("bucket")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -98,3 +98,36 @@ def test_ivf_full_probe_equals_exact(spark, vec_data):
     full = {(r.query_id, r.rank): r.corpus_id
             for r in ivf_topk(queries, corpus, DIM, k=5, n_centroids=4, nprobe=4).collect()}
     assert exact == full  # nprobe == n_centroids ⇒ exhaustive ⇒ identical
+
+
+def test_lsh_dedup_exchanges_carry_ids_only(spark, vec_data):
+    """The candidate-dedup / bucket-join exchanges must not drag embedding
+    payloads: at production dims that's ~12 KB/row vs ~50 B of bare ids.
+    Vectors may only cross the wire in the two rejoin exchanges."""
+    queries = vec_data.limit(10).select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("q_embedding")
+    )
+    corpus = vec_data.select(
+        F.col("vid").alias("corpus_id"), F.col("vec").alias("c_embedding")
+    )
+    out = lsh_topk(queries, corpus, DIM, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        line.strip()
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        and ("bucket" in line or ("query_id" in line and "corpus_id" in line))
+        and "embedding" in line
+    ]
+    assert not bad, f"embedding columns in candidate/dedup exchange: {bad}"
+
+    pairs = embedding_cosine_pairs(vec_data, "vid", "vec", DIM, threshold=0.9)
+    plan2 = pairs._jdf.queryExecution().executedPlan().toString()
+    bad2 = [
+        line.strip()
+        for line in plan2.splitlines()
+        if "Exchange hashpartitioning" in line
+        and ("bucket" in line or ("id_a" in line and "id_b" in line))
+        and "_va" in line
+    ]
+    assert not bad2, f"vector columns in pair/dedup exchange: {bad2}"
