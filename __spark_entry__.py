@@ -704,11 +704,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-granularity rollup in ONE pass (GROUPING SETS): per
         # (day, type), per day, and grand total
         e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # sum an integer-quantized value (cents): round(sum(double), 2)
+        # would depend on partial-aggregate accumulation order near
+        # half-cent boundaries; per-row floor(x*100+0.5) + integer sum is
+        # order-independent and exact in every engine
         return e.rollup(
             F.to_date(F.col("ts")).alias("day"), "event_type"
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_value_cents"),
         )
 
     def skew_salted_join(spark, sf_dir):
@@ -1825,7 +1831,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_rollup_report": """
             SELECT ts::DATE AS day, event_type,
-                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+                   count(*) AS n_events,
+                   sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_value_cents
             FROM events
             GROUP BY ROLLUP (ts::DATE, event_type)
         """,

@@ -236,6 +236,17 @@ def parse_llm_reply(
         return None, f"LLM response missing required keys: {sorted(missing)}"
     if result["id"] not in set(candidate_ids):
         return None, f"LLM chose invalid ID {result['id']} not in candidates"
+    # key-complete but non-numeric confidence (e.g. "high") is an invalid
+    # reply, not a crash: callers fall back to the deterministic stub with
+    # llm_error set, same as any other validation failure
+    try:
+        if isinstance(result["confidence"], bool):
+            raise TypeError("boolean confidence")
+        result["confidence"] = float(result["confidence"])
+    except (TypeError, ValueError):
+        return None, (
+            f"LLM confidence not numeric: {result['confidence']!r}"
+        )
     return result, None
 
 
@@ -254,16 +265,22 @@ def with_llm_raw_response(
     ``provider`` names are resolved DRIVER-side (executor workers don't see
     driver-registered registries); the callable travels in the closure."""
     chat = CHAT_PROVIDERS[provider] if isinstance(provider, str) else provider
-    fields = df.schema.fields + [StructField(out_col, StringType())]
+    # replace (not duplicate) a pre-existing out_col, and never mutate the
+    # incoming Arrow batch in place
+    fields = [f for f in df.schema.fields if f.name != out_col] + [
+        StructField(out_col, StringType())
+    ]
     out_schema = StructType(fields)
+    in_cols = [f.name for f in fields if f.name != out_col]
 
     def _call(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pdf[out_col] = [
+            out = pdf[in_cols].copy()
+            out[out_col] = [
                 retry_call(lambda p=p: chat(p), max_retries=max_retries)
                 for p in pdf[prompt_col]
             ]
-            yield pdf
+            yield out
 
     return df.mapInPandas(_call, out_schema)
 

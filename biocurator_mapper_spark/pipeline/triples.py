@@ -22,6 +22,7 @@ Scale notes (the plan this compiles to):
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame
@@ -596,15 +597,25 @@ class TriplesPipeline:
             os.fsync(f.fileno())
         os.replace(tmp, pointer)
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, retain_seconds: float = 3600.0) -> list[str]:
         """Delete run directories no longer referenced by the live snapshot
-        (and snapshots other than the live one). Returns removed paths."""
+        (and snapshots other than the live one). Returns removed paths.
+
+        ``retain_seconds`` is a grace window (Iceberg's
+        ``expire_snapshots(older_than=...)`` semantics): run/snapshot dirs
+        younger than it are kept even when unreferenced, so an in-flight
+        writer's freshly written run_dir (written BEFORE the pointer flip)
+        and a reader mid-scan on the just-superseded snapshot are safe.
+        Pass 0 only when the caller guarantees no concurrent runs/readers.
+        Single-writer is assumed throughout the catalog; vacuum itself must
+        not run concurrently with another vacuum."""
         import shutil
 
         tdir = self.catalog._table_dir("triples")
         live = self.catalog.current_version("triples")
         if live is None:
             return []
+        cutoff = time.time() - retain_seconds
         live_dir = os.path.join(tdir, live)
         referenced = {
             os.path.realpath(os.path.join(live_dir, n))
@@ -615,6 +626,8 @@ class TriplesPipeline:
         if os.path.isdir(runs_dir):
             for r in os.listdir(runs_dir):
                 rdir = os.path.join(runs_dir, r)
+                if os.path.getmtime(rdir) > cutoff:
+                    continue  # grace window: possibly an in-flight run
                 kept = any(
                     os.path.realpath(os.path.join(rdir, n)) in referenced
                     for n in os.listdir(rdir)
@@ -624,9 +637,14 @@ class TriplesPipeline:
                     shutil.rmtree(rdir)
                     removed.append(rdir)
         for name in os.listdir(tdir):
-            if name.startswith("v_") and name != live:
-                shutil.rmtree(os.path.join(tdir, name))
-                removed.append(os.path.join(tdir, name))
+            path = os.path.join(tdir, name)
+            if (
+                name.startswith("v_")
+                and name != live
+                and os.path.getmtime(path) <= cutoff
+            ):
+                shutil.rmtree(path)
+                removed.append(path)
         return removed
 
     def _read_triples(self, spark, schema=None) -> DataFrame:

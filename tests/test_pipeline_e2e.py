@@ -153,6 +153,9 @@ def test_snapshot_resume_reuses_prior_buckets_and_vacuum(spark, terms, tmp_path)
     m = catalog.read_log("_metrics").orderBy("ts").collect()
     assert 0 < m[-1].rows_in < m[0].rows_in  # partial work only
 
-    removed = pipe.vacuum()
+    # default grace window protects the just-superseded (young) dirs —
+    # an in-flight writer's run_dir or a mid-scan reader would live there
+    assert pipe.vacuum() == []
+    removed = pipe.vacuum(retain_seconds=0)  # no concurrency in this test
     assert removed  # the superseded snapshot/run dirs are gone
     assert catalog.read("triples").count() == n1  # live snapshot intact

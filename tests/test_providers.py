@@ -255,3 +255,42 @@ def test_with_llm_explanations_batch(spark):
     )
     out = {r.url: r.reason for r in with_llm_explanations(df, chat).collect()}
     assert out == {"u1": "explained GO:0001", "u2": "explained GO:0002"}
+
+
+def test_parse_llm_reply_non_numeric_confidence_is_llm_error():
+    """A key-complete reply with confidence='high' must come back as an
+    error tuple (callers fall back to the deterministic stub), not raise
+    ValueError out of resolve()."""
+    from biocurator_mapper_spark.pipeline.providers import parse_llm_reply
+
+    ok, err = parse_llm_reply(
+        '{"id": "GO:1", "name": "x", "confidence": "high", "reason": "r"}',
+        ["GO:1"],
+    )
+    assert ok is None and "confidence" in err
+
+    ok, err = parse_llm_reply(
+        '{"id": "GO:1", "name": "x", "confidence": true, "reason": "r"}',
+        ["GO:1"],
+    )
+    assert ok is None and "confidence" in err
+
+    # numeric strings coerce (providers often quote numbers)
+    ok, err = parse_llm_reply(
+        '{"id": "GO:1", "name": "x", "confidence": "0.75", "reason": "r"}',
+        ["GO:1"],
+    )
+    assert err is None and ok["confidence"] == 0.75
+
+
+def test_with_llm_raw_response_replaces_existing_out_col(spark):
+    """Calling with a pre-existing out_col must replace it, not produce a
+    duplicate schema field (analysis error)."""
+    from biocurator_mapper_spark.pipeline.providers import with_llm_raw_response
+
+    df = spark.createDataFrame(
+        [("u1", "p1", "stale")], "url string, prompt string, llm_raw string"
+    )
+    out = with_llm_raw_response(df, "prompt", lambda p: "fresh:" + p)
+    assert out.columns.count("llm_raw") == 1
+    assert out.collect()[0].llm_raw == "fresh:p1"
