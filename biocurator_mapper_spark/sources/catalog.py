@@ -48,13 +48,16 @@ class ParquetCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(vdir)
+        self._commit_pointer(table, version)
+        return version
+
+    def _commit_pointer(self, table: str, version: str) -> None:
         tmp = self._pointer_path(table) + f".tmp.{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
             json.dump({"version": version}, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._pointer_path(table))
-        return version
 
     def current_version(self, table: str) -> str | None:
         try:
@@ -100,6 +103,131 @@ class ParquetCatalog:
         for v in removable:
             shutil.rmtree(os.path.join(self._table_dir(table), v))
         return removable
+
+    # ------------------------------------------------------------ merge/upsert
+
+    def merge_upsert(
+        self,
+        source: DataFrame,
+        table: str,
+        key_cols: list[str],
+        n_buckets: int = 64,
+    ) -> str:
+        """Row-level MERGE — Iceberg's ``MERGE INTO t USING s ON keys WHEN
+        MATCHED THEN UPDATE * WHEN NOT MATCHED THEN INSERT *`` (the J3
+        incremental-ontology-update shape,
+        reference app/ontology_version_manager.py:149-183) with
+        copy-on-write at BUCKET granularity:
+
+        - rows are bucketed by ``pmod(hash(key_cols), n_buckets)`` (stored
+          as the ``part_bucket`` partition column);
+        - only buckets that contain a source key are rewritten (matched
+          target rows replaced, new keys inserted, other rows copied);
+        - every untouched bucket is re-linked into the new snapshot
+          unchanged — at 100× scale an upsert touching 1% of keys rewrites
+          ~1% of the table, not all of it;
+        - the new snapshot commits via the same atomic pointer flip as
+          ``write_replace`` (readers see old-or-new, never a mix).
+
+        The first merge on a missing table initializes it (full write).
+        ``n_buckets`` and ``key_cols`` are pinned in ``MERGE_META`` on that
+        first merge; later calls must agree. Duplicate keys within one
+        source batch are an error (Iceberg raises the same way — the merge
+        would be non-deterministic). Returns the new version name.
+        """
+        from pyspark.sql import functions as F
+
+        tdir = self._table_dir(table)
+        os.makedirs(tdir, exist_ok=True)
+        meta_path = os.path.join(tdir, "MERGE_META")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta["key_cols"] != list(key_cols):
+                raise ValueError(
+                    f"merge keys {key_cols} != table keys {meta['key_cols']}"
+                )
+            n_buckets = meta["n_buckets"]
+        data_cols = [c for c in source.columns if c != "part_bucket"]
+        key_expr = [F.col(c) for c in key_cols]
+        src = source.select(*data_cols).withColumn(
+            "part_bucket", F.pmod(F.hash(*key_expr), F.lit(n_buckets))
+        )
+        # one small agg job: bucket list for pruning + source-key dup check
+        stats = src.groupBy("part_bucket").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*key_expr).alias("nd"),
+        ).collect()
+        if any(r.n != r.nd for r in stats):
+            raise ValueError(
+                "duplicate keys in merge source — dedup before merging"
+            )
+        affected = sorted(int(r.part_bucket) for r in stats)
+        run_id = uuid.uuid4().hex[:12]
+        run_dir = os.path.join(tdir, "merges", f"m_{run_id}")
+        live = self.current_version(table)
+        if live is not None and affected:
+            # partition-pruned read of ONLY the affected buckets
+            target = self.read(table).where(F.col("part_bucket").isin(affected))
+            # upsert sources are normally tiny next to the table — AQE
+            # turns this anti-join into a broadcast when the key set is
+            # small; huge backfills degrade gracefully to a shuffle join
+            keep = target.join(src.select(*key_cols), key_cols, "left_anti")
+            merged = keep.select(*data_cols, "part_bucket").unionByName(
+                src.select(*data_cols, "part_bucket")
+            )
+        else:
+            merged = src
+        if affected:
+            merged.write.mode("overwrite").partitionBy("part_bucket").parquet(
+                run_dir
+            )
+        version = f"v_{run_id}"
+        snap_dir = os.path.join(tdir, version)
+        os.makedirs(snap_dir, exist_ok=True)
+        targets: dict[str, str] = {}
+        if live is not None:
+            live_dir = os.path.join(tdir, live)
+            affected_names = {f"part_bucket={b}" for b in affected}
+            for name in os.listdir(live_dir):
+                if name.startswith("part_bucket=") and name not in affected_names:
+                    targets[name] = os.path.realpath(os.path.join(live_dir, name))
+        if os.path.isdir(run_dir):
+            for name in os.listdir(run_dir):
+                if name.startswith("part_bucket="):
+                    targets[name] = os.path.join(run_dir, name)
+        for name, target in targets.items():
+            os.symlink(target, os.path.join(snap_dir, name))
+        if not os.path.exists(meta_path):
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"key_cols": list(key_cols), "n_buckets": n_buckets}, f)
+            os.replace(tmp, meta_path)
+        self._commit_pointer(table, version)
+        return version
+
+    def vacuum_merges(self, table: str) -> list[str]:
+        """Retire ``merges/m_*`` run dirs referenced by NO retained snapshot
+        (run after ``vacuum_table``). Returns removed paths."""
+        import shutil
+
+        tdir = self._table_dir(table)
+        merges_dir = os.path.join(tdir, "merges")
+        if not os.path.isdir(merges_dir):
+            return []
+        referenced: set[str] = set()
+        for v in self.versions(table):
+            vdir = os.path.join(tdir, v)
+            for name in os.listdir(vdir):
+                real = os.path.realpath(os.path.join(vdir, name))
+                referenced.add(os.path.dirname(real))
+        removed = []
+        for m in os.listdir(merges_dir):
+            mdir = os.path.join(merges_dir, m)
+            if os.path.realpath(mdir) not in referenced:
+                shutil.rmtree(mdir)
+                removed.append(mdir)
+        return removed
 
     # ------------------------------------------------------------ append log
     def append(self, df: DataFrame, table: str) -> None:
