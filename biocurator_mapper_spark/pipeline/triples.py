@@ -440,6 +440,7 @@ class TriplesPipeline:
     def __init__(self, catalog: ParquetCatalog, n_buckets: int = 16):
         self.catalog = catalog
         self.n_buckets = n_buckets
+        self._active_groups: dict[str, str] = {}
 
     def run(
         self,
@@ -447,6 +448,53 @@ class TriplesPipeline:
         terms: DataFrame,
         run_fingerprint: str,
         k: int = DEFAULT_K,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """Cancellable entry point: the whole run executes under a Spark
+        job group (SURVEY §4 — the reference's cooperative task
+        cancellation, app/ontology_manager.py:187-189,344-347, mapped to
+        ``cancelJobGroup``). ``cancel(run_id)`` from any thread kills the
+        in-flight jobs; nothing is checkpointed or published until a write
+        completes, so a cancelled run leaves ``_checkpoints`` exactly as it
+        found them and the next run with the same fingerprint resumes to
+        identical output."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        sc = pages.sparkSession.sparkContext
+        group = f"biocurator-triples-{run_id}"
+        sc.setJobGroup(group, f"triples run {run_id} fp={run_fingerprint}")
+        self._active_groups[run_id] = group
+        try:
+            return self._run_impl(pages, terms, run_fingerprint, k, run_id)
+        finally:
+            self._active_groups.pop(run_id, None)
+            # detach this thread from the group so later jobs aren't
+            # cancellable under a stale id
+            sc.setLocalProperty("spark.jobGroup.id", None)
+
+    def cancel(self, run_id: str | None = None) -> list[str]:
+        """Cancel an in-flight run's Spark jobs (all active runs when
+        ``run_id`` is None). Returns the run ids signalled. Safe to call
+        from any thread; the cancelled ``run()`` raises from its blocked
+        action."""
+        targets = (
+            {run_id: self._active_groups[run_id]}
+            if run_id is not None and run_id in self._active_groups
+            else dict(self._active_groups)
+            if run_id is None
+            else {}
+        )
+        sc = self.catalog.spark.sparkContext
+        for group in targets.values():
+            sc.cancelJobGroup(group)
+        return sorted(targets)
+
+    def _run_impl(
+        self,
+        pages: DataFrame,
+        terms: DataFrame,
+        run_fingerprint: str,
+        k: int,
+        run_id: str,
     ) -> DataFrame:
         """ONE corpus pass: rows-in/rows-out come from ``Observation``
         metrics attached to the write job (no bookkeeping scans), the
@@ -462,7 +510,6 @@ class TriplesPipeline:
 
         spark = pages.sparkSession
         t0 = time.monotonic()
-        run_id = uuid.uuid4().hex[:12]
 
         pages_b = pages.withColumn(
             "part_bucket",

@@ -159,3 +159,54 @@ def test_snapshot_resume_reuses_prior_buckets_and_vacuum(spark, terms, tmp_path)
     removed = pipe.vacuum(retain_seconds=0)  # no concurrency in this test
     assert removed  # the superseded snapshot/run dirs are gone
     assert catalog.read("triples").count() == n1  # live snapshot intact
+
+
+def test_cancel_mid_run_then_resume_identical(spark, terms, tmp_path):
+    """SURVEY §4 cooperative cancellation (reference
+    app/ontology_manager.py:344-347 → cancelJobGroup): cancel() from
+    another thread kills the in-flight jobs; nothing half-done lands in
+    _checkpoints, and a rerun with the same fingerprint produces output
+    identical to a never-cancelled control run."""
+    import threading
+    import time as _t
+
+    control_cat = ParquetCatalog(spark, str(tmp_path / "wh_ctl"))
+    pages = pages_dataframe(spark, SURFACES, n_pages=1500, seed=5)
+    expected = {
+        (r.subj, r.pred, r.obj)
+        for r in TriplesPipeline(control_cat, n_buckets=4)
+        .run(pages, terms, "fpCancel")
+        .collect()
+    }
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh_can"))
+    pipe = TriplesPipeline(cat, n_buckets=4)
+    errs: list[Exception] = []
+
+    def _target():
+        try:
+            pipe.run(pages, terms, "fpCancel", run_id="cancelme")
+        except Exception as e:  # expected: job-group cancellation
+            errs.append(e)
+
+    th = threading.Thread(target=_target)
+    th.start()
+    tracker = spark.sparkContext.statusTracker()
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        if tracker.getJobIdsForGroup("biocurator-triples-cancelme"):
+            break
+        _t.sleep(0.02)
+    cancelled = pipe.cancel("cancelme")
+    th.join(timeout=120)
+    assert not th.is_alive()
+    assert cancelled == ["cancelme"]
+    assert errs, "cancelled run must raise, not return"
+
+    # _checkpoints consistent: the cancelled run committed nothing
+    log = cat.read_log("_checkpoints")
+    assert log is None or log.where(F.col("run_id") == "cancelme").count() == 0
+
+    # resume to identical output
+    out = pipe.run(pages, terms, "fpCancel")
+    assert {(r.subj, r.pred, r.obj) for r in out.collect()} == expected
