@@ -838,6 +838,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_surfaces")
         )
 
+    def catalog_merge_upsert(spark, sf_dir):
+        # row-level MERGE (Iceberg MERGE INTO semantics, bucket-granular
+        # copy-on-write): base = documents, delta updates every 7th doc;
+        # the merged table must equal anti-join(base, delta) ∪ delta
+        import os
+        import shutil
+        import tempfile
+
+        from biocurator_mapper_spark.sources.catalog import ParquetCatalog
+
+        wh = os.path.join(tempfile.gettempdir(), "bcm_merge_query_wh")
+        shutil.rmtree(wh, ignore_errors=True)
+        cat = ParquetCatalog(spark, wh)
+        docs = _docs(spark, sf_dir)
+        base = docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.lit(1).cast("bigint").alias("rev"),
+        )
+        cat.merge_upsert(base, "docs", ["doc_id"], n_buckets=8)
+        delta = docs.where(F.col("doc_id") % 7 == 0).select(
+            "doc_id",
+            "source",
+            (F.col("n_chars") + 1000).cast("bigint").alias("n_chars"),
+            F.lit(2).cast("bigint").alias("rev"),
+        )
+        cat.merge_upsert(delta, "docs", ["doc_id"])
+        return cat.read("docs").select("doc_id", "source", "n_chars", "rev")
+
     # NOTE on ordering: the driver snapshots correctness rows in dict order
     # and may stop at a time budget (round 2 recorded only the first 50 of
     # 58). The flagship pipeline query and the queries added latest run
@@ -851,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_recall": kg_mention_recall,
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
+        "catalog_merge_upsert": catalog_merge_upsert,
         "p1_parse_terms": p1_parse_terms,
         "p2_curie_normalize": p2_curie_normalize,
         "p7_searchable_text": p7_searchable_text,
@@ -1864,6 +1895,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "catalog_merge_upsert": """
+            WITH delta AS (
+              SELECT doc_id, source, (n_chars + 1000)::BIGINT AS n_chars,
+                     2::BIGINT AS rev
+              FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT doc_id, source, n_chars::BIGINT AS n_chars, 1::BIGINT AS rev
+            FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM delta)
+            UNION ALL
+            SELECT * FROM delta
         """,
         "j7_canonical_mapping": (
             f"WITH RECURSIVE {_CANON_CTES} "
