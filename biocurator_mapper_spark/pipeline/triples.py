@@ -33,6 +33,11 @@ from ..operators.canonicalize import canonical_mapping
 from ..operators.mentions import build_surface_map
 from ..sources.catalog import ParquetCatalog
 
+class RunCancelled(RuntimeError):
+    """Raised by ``TriplesPipeline.run`` when ``cancel()`` interrupts it
+    at a stage boundary (SURVEY §4 cooperative cancellation)."""
+
+
 DEFAULT_K = 5  # reference app/config.py:10
 TRIPLE_BUCKETS = 256  # bucket(url) partition transform width
 
@@ -441,6 +446,7 @@ class TriplesPipeline:
         self.catalog = catalog
         self.n_buckets = n_buckets
         self._active_groups: dict[str, str] = {}
+        self._cancel_requested: set[str] = set()
 
     def run(
         self,
@@ -467,15 +473,20 @@ class TriplesPipeline:
             return self._run_impl(pages, terms, run_fingerprint, k, run_id)
         finally:
             self._active_groups.pop(run_id, None)
+            self._cancel_requested.discard(run_id)
             # detach this thread from the group so later jobs aren't
             # cancellable under a stale id
             sc.setLocalProperty("spark.jobGroup.id", None)
 
     def cancel(self, run_id: str | None = None) -> list[str]:
-        """Cancel an in-flight run's Spark jobs (all active runs when
-        ``run_id`` is None). Returns the run ids signalled. Safe to call
-        from any thread; the cancelled ``run()`` raises from its blocked
-        action."""
+        """Cancel an in-flight run (all active runs when ``run_id`` is
+        None). Returns the run ids signalled. Safe to call from any
+        thread. Cancellation is STICKY: in-flight jobs in the run's group
+        are killed JVM-side, and the run re-checks the flag at every stage
+        boundary — ``cancelJobGroup`` alone only kills currently-active
+        jobs, so a cancel landing between two jobs would otherwise be
+        lost. The cancelled ``run()`` raises ``RunCancelled`` (or the
+        killed job's error)."""
         targets = (
             {run_id: self._active_groups[run_id]}
             if run_id is not None and run_id in self._active_groups
@@ -484,9 +495,18 @@ class TriplesPipeline:
             else {}
         )
         sc = self.catalog.spark.sparkContext
-        for group in targets.values():
-            sc.cancelJobGroup(group)
+        for rid, group in targets.items():
+            self._cancel_requested.add(rid)
+            try:
+                # Spark 4: also fails jobs SUBMITTED after this call
+                sc._jsc.sc().cancelJobGroupAndFutureJobs(group)
+            except Exception:
+                sc.cancelJobGroup(group)
         return sorted(targets)
+
+    def _check_cancelled(self, run_id: str) -> None:
+        if run_id in self._cancel_requested:
+            raise RunCancelled(f"triples run {run_id} cancelled")
 
     def _run_impl(
         self,
@@ -510,6 +530,7 @@ class TriplesPipeline:
 
         spark = pages.sparkSession
         t0 = time.monotonic()
+        self._check_cancelled(run_id)
 
         pages_b = pages.withColumn(
             "part_bucket",
@@ -561,9 +582,11 @@ class TriplesPipeline:
             run_dir = os.path.join(
                 self.catalog._table_dir("triples"), "runs", f"r_{run_id}"
             )
+            self._check_cancelled(run_id)
             triples.write.mode("overwrite").partitionBy("part_bucket").parquet(
                 run_dir
             )
+            self._check_cancelled(run_id)
             # observation results are available once the write job finishes
             n_out = int(obs_out.get["n"])
             try:
@@ -577,6 +600,7 @@ class TriplesPipeline:
                 n_in = todo.count()
             self._publish_snapshot(run_id, done)
 
+        self._check_cancelled(run_id)
         elapsed = time.monotonic() - t0
         ckpt_rows = [
             (run_id, run_fingerprint, "triples", int(b), "committed")
