@@ -167,7 +167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         curie_normalize,
         doc_fingerprint,
         lang_id_expr,
-        quality_score_cols,
         token_count,
         truncate_with_ellipsis,
     )
@@ -732,14 +731,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "source", "source_label")
 
     def text_quality(spark, sf_dir):
+        from biocurator_mapper_spark.functions.text import quality_struct
+
+        # struct materialized in its own projection: one tokenize/aggregate
+        # pass per row, fields fanned out in a second select
         d = _docs(spark, sf_dir)
-        cols = quality_score_cols(F.col("text"))
-        return d.select(
+        return d.withColumn("_q", quality_struct(F.col("text"))).select(
             "doc_id",
-            cols["n_chars"].cast("bigint").alias("n_chars"),
-            cols["n_tokens"].cast("bigint").alias("n_tokens"),
-            cols["punct_ratio"].alias("punct_ratio"),
-            cols["stopword_ratio"].alias("stopword_ratio"),
+            F.col("_q.n_chars").cast("bigint").alias("n_chars"),
+            F.col("_q.n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("_q.punct_ratio").alias("punct_ratio"),
+            F.col("_q.stopword_ratio").alias("stopword_ratio"),
         )
 
     def text_lang_id(spark, sf_dir):

@@ -105,34 +105,83 @@ def _stopword_hits(col: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
 
 
-def quality_score_cols(text: Column) -> dict[str, Column]:
-    """Document quality signals: length, punctuation ratio, stopword ratio,
-    mean word length, and a combined [0,1] score. All codegen'd."""
+def quality_struct(text: Column) -> Column:
+    """Document quality signals as ONE struct column: length, punctuation
+    ratio, stopword ratio, mean word length, and a combined [0,1] score.
+
+    All token-based counters (token count, stopword hits, summed token
+    length) accumulate in a single ``aggregate`` pass over one tokenized
+    array; the finish lambda emits the whole struct. Materialize the struct
+    in its own projection and fan fields out in a second select — the same
+    no-CSE-across-columns rule as :func:`repetition_struct` (the former
+    dict form re-split the text once per referenced signal)."""
     n_chars = F.length(text)
     toks = F.filter(F.split(F.lower(text), r"[^\p{L}0-9']+"), lambda t: t != "")
-    n_tokens = F.size(toks)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
-    stop_hits = _stopword_hits(text, _STOPWORDS)
-    safe_tokens = F.greatest(n_tokens, F.lit(1))
-    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1)).cast("double")
-    stop_ratio = stop_hits / safe_tokens.cast("double")
-    mean_word_len = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    ) / safe_tokens.cast("double")
-    # crude composite: long enough, some stopwords, sane punctuation & words
-    score = (
-        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.3
-        + F.least(stop_ratio * F.lit(3.0), F.lit(1.0)) * 0.4
-        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
-        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.1
+    stop_list = F.array(*[F.lit(w) for w in _STOPWORDS])
+
+    def _merge(acc: Column, t: Column) -> Column:
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            (
+                acc["stop"] + F.array_contains(stop_list, t).cast("int")
+            ).alias("stop"),
+            (acc["len_sum"] + F.length(t)).alias("len_sum"),
+        )
+
+    def _finish(acc: Column) -> Column:
+        n_tokens = acc["n"]
+        safe_tokens = F.greatest(n_tokens, F.lit(1))
+        punct_ratio = n_punct / F.greatest(n_chars, F.lit(1)).cast("double")
+        stop_ratio = acc["stop"] / safe_tokens.cast("double")
+        mean_word_len = acc["len_sum"] / safe_tokens.cast("double")
+        # crude composite: long enough, some stopwords, sane punctuation
+        # & words
+        score = (
+            F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.3
+            + F.least(stop_ratio * F.lit(3.0), F.lit(1.0)) * 0.4
+            + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
+            + F.when(
+                (mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)
+            ).otherwise(F.lit(0.0))
+            * 0.1
+        )
+        return F.struct(
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            punct_ratio.alias("punct_ratio"),
+            stop_ratio.alias("stopword_ratio"),
+            mean_word_len.alias("mean_word_len"),
+            score.alias("quality_score"),
+        )
+
+    return F.aggregate(
+        toks,
+        F.struct(
+            F.lit(0).alias("n"),
+            F.lit(0).alias("stop"),
+            F.lit(0).alias("len_sum"),
+        ),
+        _merge,
+        _finish,
     )
+
+
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Dict view of :func:`quality_struct` for single-column consumers.
+    Each value is an independent full expression — for two or more outputs,
+    materialize ``quality_struct`` once and project its fields instead."""
+    s = quality_struct(text)
     return {
-        "n_chars": n_chars,
-        "n_tokens": n_tokens,
-        "punct_ratio": punct_ratio,
-        "stopword_ratio": stop_ratio,
-        "mean_word_len": mean_word_len,
-        "quality_score": score,
+        name: s[name]
+        for name in (
+            "n_chars",
+            "n_tokens",
+            "punct_ratio",
+            "stopword_ratio",
+            "mean_word_len",
+            "quality_score",
+        )
     }
 
 

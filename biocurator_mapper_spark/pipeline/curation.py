@@ -4,7 +4,7 @@ Composes the engine's text-analysis and dedup operators into the one
 pipeline every large-scale pretraining corpus goes through:
 
 1. quality gate — min length, token count, punctuation ratio, stopword
-   ratio bounds (functions.text.quality_score_cols);
+   ratio bounds (functions.text.quality_struct);
 2. language filter — keep target languages (declared lang column or the
    stopword-vote lang_id fallback);
 3. exact dedup — one representative (min id) per normalized fingerprint;
@@ -24,8 +24,8 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     doc_fingerprint,
     lang_id_expr,
-    quality_score_cols,
-    repetition_cols,
+    quality_struct,
+    repetition_struct,
 )
 
 
@@ -44,22 +44,27 @@ def curate(
     """docs → kept docs with a ``curation_stage`` column marking survivors
     ('kept') and the first gate each rejected doc failed — one relation
     carries both the output corpus and the funnel report."""
-    q = quality_score_cols(F.col(text_col))
-    rep = repetition_cols(F.col(text_col))
     lang = (
         F.col(lang_col) if lang_col and lang_col in docs.columns
         else lang_id_expr(F.col(text_col))
     )
-    staged = docs.select(
-        F.col(id_col),
-        F.col(text_col),
-        q["n_chars"].alias("_nc"),
-        q["n_tokens"].alias("_nt"),
-        q["punct_ratio"].alias("_pr"),
-        q["stopword_ratio"].alias("_sr"),
-        rep["max_word_freq_ratio"].alias("_rr"),
-        lang.alias("_lang"),
-        doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+    # materialize the two signal structs in their own projection, THEN fan
+    # out: each text pass (quality counters, repetition run-length) runs
+    # once per row instead of once per referenced signal column
+    staged = (
+        docs.withColumn("_q", quality_struct(F.col(text_col)))
+        .withColumn("_rep", repetition_struct(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.col("_q.n_chars").alias("_nc"),
+            F.col("_q.n_tokens").alias("_nt"),
+            F.col("_q.punct_ratio").alias("_pr"),
+            F.col("_q.stopword_ratio").alias("_sr"),
+            F.col("_rep.max_word_freq_ratio").alias("_rr"),
+            lang.alias("_lang"),
+            doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+        )
     )
     first_gate = (
         F.when(F.col("_nc") < min_chars, F.lit("too_short"))
