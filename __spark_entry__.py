@@ -840,6 +840,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_surfaces")
         )
 
+    def text_chunks(spark, sf_dir):
+        # sliding token-window chunking (the pre-embedding step of every
+        # retrieval/training pipeline): 64-token windows, 16-token overlap
+        from biocurator_mapper_spark.operators.chunking import chunk_documents
+
+        return chunk_documents(
+            _docs(spark, sf_dir), chunk_tokens=64, overlap=16
+        )
+
     def catalog_merge_upsert(spark, sf_dir):
         # row-level MERGE (Iceberg MERGE INTO semantics, bucket-granular
         # copy-on-write): base = documents, delta updates every 7th doc;
@@ -883,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_recall": kg_mention_recall,
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
+        "text_chunks": text_chunks,
         "catalog_merge_upsert": catalog_merge_upsert,
         "p1_parse_terms": p1_parse_terms,
         "p2_curie_normalize": p2_curie_normalize,
@@ -1897,6 +1907,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "text_chunks": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, t, len(t) AS n,
+                     CASE WHEN len(t) > 0
+                          THEN greatest((len(t) - 64 + 47) // 48, 0) + 1
+                          ELSE 0 END AS nc
+              FROM tok
+            ),
+            ch AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(nc), i -> struct_pack(
+                       chunk_no := i,
+                       chunk_text := array_to_string(t[i*48+1 : i*48+64], ' '),
+                       n_tokens := least(64, n - i*48)))) AS u
+              FROM c
+            )
+            SELECT doc_id, u.chunk_no::BIGINT AS chunk_no, u.chunk_text AS chunk_text,
+                   u.n_tokens::BIGINT AS n_tokens
+            FROM ch
         """,
         "catalog_merge_upsert": """
             WITH delta AS (

@@ -302,3 +302,37 @@ def test_bm25_topk_ranks_and_plan(spark):
     assert rows[0].score > rows[-1].score > 0
     plan = _plan_string(out)
     assert "TakeOrderedAndProject" in plan  # top-k heap, no global sort
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """Sliding token windows: consecutive chunks share `overlap` tokens;
+    the last window may be short; empty docs produce no rows; plan is
+    narrow (no shuffle exchange)."""
+    from biocurator_mapper_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),
+            (2, "one two"),
+            (3, ""),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1)
+    rows = sorted(
+        ((r.doc_id, r.chunk_no, r.chunk_text, r.n_tokens) for r in out.collect())
+    )
+    assert rows == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t3 t4 t5 t6", 4),
+        (1, 2, "t6 t7 t8 t9", 4),
+        (2, 0, "one two", 2),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow: tokenize/slice/explode only
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
