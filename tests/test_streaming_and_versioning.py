@@ -175,3 +175,51 @@ def test_enabled_ontology_filter(spark):
     )
     kept = {r.term_id for r in filter_enabled_terms(terms, config).collect()}
     assert kept == {"GO:1", "CHEBI:3"}
+
+
+def test_merge_upsert_stream_two_batches(spark, tmp_path):
+    """Streaming MERGE sink: one snapshot per micro-batch; updates win over
+    base rows, intra-batch duplicate keys reduce to latest-by-order_col,
+    untouched rows survive."""
+    import os
+    import time as _t
+
+    from biocurator_mapper_spark.sources.catalog import ParquetCatalog
+    from biocurator_mapper_spark.streaming.upsert import merge_upsert_stream
+
+    landing = tmp_path / "in"
+    landing.mkdir()
+    schema = "doc_id long, name string, rev long"
+    b0 = [(i, f"name{i}", 1) for i in range(1, 6)]
+    b1 = [(1, "renamed", 2), (6, "stale-new", 2), (6, "latest-new", 3)]
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(str(landing / "b0"))
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(landing / "b1"))
+    now = _t.time()
+    for i, d in enumerate(["b0", "b1"]):
+        for p in (landing / d).rglob("*"):
+            os.utime(p, (now - 100 + i * 50, now - 100 + i * 50))
+        os.utime(landing / d, (now - 100 + i * 50, now - 100 + i * 50))
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing) + "/*")
+    )
+    q = merge_upsert_stream(
+        stream,
+        cat,
+        "docs",
+        ["doc_id"],
+        str(tmp_path / "ckpt"),
+        order_col="rev",
+        n_buckets=8,
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id: (r.name, r.rev) for r in cat.read("docs").collect()}
+    assert got[1] == ("renamed", 2)        # matched -> updated by batch 2
+    assert got[2] == ("name2", 1)          # untouched -> preserved
+    assert got[6] == ("latest-new", 3)     # intra-batch dup -> latest rev
+    assert len(got) == 6
+    assert len(cat.versions("docs")) == 2  # one snapshot per micro-batch
