@@ -2,7 +2,7 @@
 
 PY ?= python
 
-.PHONY: test bench scaling package check-oracles
+.PHONY: test bench scaling package check-oracles plans
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -15,6 +15,9 @@ scaling:
 
 check-oracles:
 	$(PY) tools/check_oracles.py /root/testdata/sf0.01
+
+plans:
+	$(PY) tools/plan_audit.py > PLANS.md
 
 # zip the package for spark-submit --py-files on a real cluster:
 #   spark-submit --py-files dist/bcms.zip your_job.py
