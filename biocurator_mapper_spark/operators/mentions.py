@@ -218,9 +218,14 @@ def mention_candidates(
     default_p = pages.sparkSession.sparkContext.defaultParallelism
     if pages.rdd.getNumPartitions() < max(default_p // 2, 1):
         pages = pages.repartition(default_p)
+    # explode_OUTER: plain explode triggers InferFiltersFromGenerate, whose
+    # size(mentions)>0 filter makes Catalyst extract the scan UDF TWICE
+    # (the Aho-Corasick pass would run 2x per page). Zero-mention pages
+    # become a null mention row here and are dropped by the INNER join
+    # below — identical output, one scan.
     mentions = (
         with_mentions(pages, surfaces, text_col=text_col)
-        .withColumn("mention", F.explode("mentions"))
+        .withColumn("mention", F.explode_outer("mentions"))
         .drop("mentions")
     )
     return mentions.join(

@@ -113,11 +113,17 @@ def lsh_topk(
     # shuffles. Vectors rejoin AFTER dedup — each side's embeddings cross
     # the wire exactly once, and the final join hashes on the query id so
     # the top-k window reuses that partitioning (no extra exchange).
+    # explode_OUTER on purpose: plain explode triggers
+    # InferFiltersFromGenerate, which plants a size(arr)>0 filter under the
+    # Generate and makes Catalyst extract the signature UDF TWICE (one
+    # ArrowEvalPython for the filter, one for the generate — the batch
+    # matmul runs 2x per row). _sig always returns n_tables buckets, so
+    # outer semantics are identical here.
     q = with_lsh_buckets(queries, query_vec, dim, n_planes, n_tables, seed).select(
-        query_id_col, F.explode("lsh_buckets").alias("bucket")
+        query_id_col, F.explode_outer("lsh_buckets").alias("bucket")
     )
     c = with_lsh_buckets(corpus, corpus_vec, dim, n_planes, n_tables, seed).select(
-        corpus_id_col, F.explode("lsh_buckets").alias("bucket")
+        corpus_id_col, F.explode_outer("lsh_buckets").alias("bucket")
     )
     pairs = (
         q.join(c, "bucket")
@@ -265,11 +271,14 @@ def ivf_topk(
 
         return _assign
 
+    # explode_outer: see lsh_topk — _assign always returns >=1 centroid,
+    # and outer explode skips the inferred size-filter that would extract
+    # the assignment UDF twice
     c_assigned = corpus.withColumn(
-        "_cent", F.explode(_assign_udf(1)(F.col(corpus_vec)))
+        "_cent", F.explode_outer(_assign_udf(1)(F.col(corpus_vec)))
     )
     q_assigned = queries.withColumn(
-        "_cent", F.explode(_assign_udf(nprobe)(F.col(query_vec)))
+        "_cent", F.explode_outer(_assign_udf(nprobe)(F.col(query_vec)))
     )
     # No pair dedup needed (unlike LSH multi-table): every corpus row is
     # assigned to exactly ONE centroid and a query's nprobe probes are
@@ -310,8 +319,10 @@ def embedding_cosine_pairs(
     # Same id-pairs-only shape as lsh_topk: the bucket self-join and the
     # pair dedup shuffle bare ids; the vectors rejoin once per side for the
     # exact verification score.
+    # explode_outer: see lsh_topk — avoids the inferred size()>0 filter
+    # that would double-evaluate the signature UDF
     b = with_lsh_buckets(df, vec_col, dim, n_planes, n_tables, seed).select(
-        F.col(id_col).alias("_id"), F.explode("lsh_buckets").alias("bucket")
+        F.col(id_col).alias("_id"), F.explode_outer("lsh_buckets").alias("bucket")
     )
     a = b.select("bucket", F.col("_id").alias("id_a"))
     bb = b.select("bucket", F.col("_id").alias("id_b"))
