@@ -1,0 +1,30 @@
+"""Expression combinators.
+
+``let_expr`` is the workhorse: Catalyst performs no common-subexpression
+elimination across the branches of one expression tree (and a lambda body
+re-evaluates every captured outer subtree per element), so an expensive
+subexpression referenced N times costs N evaluations per row. Binding it
+as a HOF lambda variable makes every reference an O(1) variable read:
+
+    let_expr(tokens, lambda t: F.size(t) - F.size(F.array_distinct(t)))
+
+evaluates ``tokens`` exactly once per row. This is the expression-level
+analog of materializing a struct column in its own projection — use this
+form when the value is consumed inside ONE column, the projection form
+when several output columns share it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def let_expr(value: Column, body: Callable[[Column], Column]) -> Column:
+    """Evaluate ``value`` once; ``body`` receives it as a lambda variable
+    (free to reference any number of times). Implemented as
+    ``transform(array(value), v -> body(v))[0]`` — the single-element
+    array evaluates its child exactly once."""
+    return F.try_element_at(F.transform(F.array(value), body), F.lit(1))

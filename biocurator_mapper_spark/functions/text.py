@@ -226,16 +226,27 @@ def repetition_struct(text: Column) -> Column:
     the outputs in a SECOND select — higher-order expressions get no CSE
     across columns within one projection, so fanning this into N columns
     directly would evaluate the whole chain N times per row."""
+    from .exprs import let_expr
+
     toks = F.filter(F.split(F.lower(text), r"[^\p{L}0-9']+"), lambda t: t != "")
-    lines = F.filter(
-        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
+
+    # bind the line array once: the fraction references it 4× and each
+    # reference would otherwise re-split + re-trim the whole text
+    def _dup_frac(lines: Column) -> Column:
+        n_lines = F.size(lines)
+        return F.when(
+            n_lines > 0,
+            (n_lines - F.size(F.array_distinct(lines)))
+            / n_lines.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    dup_line_frac = let_expr(
+        F.filter(
+            F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+            lambda l: l != "",
+        ),
+        _dup_frac,
     )
-    n_lines = F.size(lines)
-    dup_line_frac = F.when(
-        n_lines > 0,
-        (n_lines - F.size(F.array_distinct(lines)))
-        / n_lines.cast("double"),
-    ).otherwise(F.lit(0.0))
 
     def _merge(acc: Column, t: Column) -> Column:
         run = F.when(t == acc["prev"], acc["run"]).otherwise(F.lit(0)) + 1

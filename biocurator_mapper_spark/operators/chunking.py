@@ -33,33 +33,43 @@ def chunk_struct_array(
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
+    from ..functions.exprs import let_expr
+
     stride = chunk_tokens - overlap
-    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
-    n = F.size(toks)
-    # integer ceil((n - chunk)/stride) without doubles
-    extra = F.greatest(
-        (n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride), F.lit(0)
-    ).cast("int")
-    n_chunks = F.when(n > 0, extra + 1).otherwise(F.lit(0))
-    return F.when(
-        n_chunks > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.struct(
-                i.cast("bigint").alias("chunk_no"),
-                F.array_join(
-                    F.slice(toks, i * stride + 1, chunk_tokens), " "
-                ).alias("chunk_text"),
-                F.least(F.lit(chunk_tokens), n - i * stride)
-                .cast("bigint")
-                .alias("n_tokens"),
+
+    # the token array is bound once via let_expr: a lambda body re-runs
+    # every captured outer subtree per element, so referencing the raw
+    # tokenize chain inside the per-chunk lambda would re-split the text
+    # once per WINDOW per row
+    def _build(toks: Column) -> Column:
+        n = F.size(toks)
+        # integer ceil((n - chunk)/stride) without doubles
+        extra = F.greatest(
+            (n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride),
+            F.lit(0),
+        ).cast("int")
+        n_chunks = F.when(n > 0, extra + 1).otherwise(F.lit(0))
+        return F.when(
+            n_chunks > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("chunk_no"),
+                    F.array_join(
+                        F.slice(toks, i * stride + 1, chunk_tokens), " "
+                    ).alias("chunk_text"),
+                    F.least(F.lit(chunk_tokens), n - i * stride)
+                    .cast("bigint")
+                    .alias("n_tokens"),
+                ),
             ),
-        ),
-    ).otherwise(
-        F.array().cast(
-            "array<struct<chunk_no:bigint,chunk_text:string,n_tokens:bigint>>"
+        ).otherwise(
+            F.array().cast(
+                "array<struct<chunk_no:bigint,chunk_text:string,n_tokens:bigint>>"
+            )
         )
-    )
+
+    return let_expr(F.filter(F.split(text, r"\s+"), lambda t: t != ""), _build)
 
 
 def chunk_documents(

@@ -36,25 +36,33 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
     shingle) rather than a per-index ``slice`` + ``array_join`` — the
     higher-order-function path is interpreted, so allocation count per
     shingle dominates; the zip formulation measures ~2× faster.
+
+    The token array is bound ONCE via ``let_expr``: the construction
+    references it ~(n + 5) times, and without the binding every reference
+    re-runs the regex split + filter over the full text per row.
     """
-    toks = tokens_expr(text)
-    m = F.size(toks) - F.lit(n - 1)  # number of shingles
-    sh = F.slice(toks, 1, m)
-    for off in range(1, n):
-        sh = F.zip_with(
-            sh,
-            F.slice(toks, off + 1, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, sh).otherwise(
-            # short docs: one shingle = whole token string, so they can
-            # still pair with identical short docs
-            F.when(F.size(toks) > 0, F.array(F.array_join(toks, " "))).otherwise(
-                F.array().cast("array<string>")
+    from ..functions.exprs import let_expr
+
+    def _build(toks: Column) -> Column:
+        m = F.size(toks) - F.lit(n - 1)  # number of shingles
+        sh = F.slice(toks, 1, m)
+        for off in range(1, n):
+            sh = F.zip_with(
+                sh,
+                F.slice(toks, off + 1, m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return F.array_distinct(
+            F.when(F.size(toks) >= n, sh).otherwise(
+                # short docs: one shingle = whole token string, so they can
+                # still pair with identical short docs
+                F.when(
+                    F.size(toks) > 0, F.array(F.array_join(toks, " "))
+                ).otherwise(F.array().cast("array<string>"))
             )
         )
-    )
+
+    return let_expr(tokens_expr(text), _build)
 
 
 # ------------------------------------------------------------------- exact
@@ -107,10 +115,15 @@ def ngram_jaccard_pairs(
     map-side partial combine. Prefer ``minhash_lsh_pairs`` when the corpus
     is large enough that even capped exact intersection counting is wide.
     """
+    # explode_OUTER + cheap null filter: plain explode over the shingle
+    # HOF chain triggers InferFiltersFromGenerate, whose size()>0 filter
+    # re-evaluates the whole chain per row (the filter is pushed below the
+    # project by alias substitution). Outer explode + isNotNull on the
+    # GENERATED attribute evaluates the chain exactly once.
     sh = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"),
-    )
+        F.explode_outer(shingles_expr(F.col(text_col), n)).alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
     # Two birds with one round-robin shuffle of the shingle rows: (1) an
     # under-partitioned source (one parquet split) would evaluate the
     # shingle HOFs single-threaded; (2) this plan consumes `sh` from four
@@ -234,11 +247,18 @@ def _banded_signatures(
     """(banded(_id, band_no, band_val), sets(_id, _sh)) for one corpus —
     the shared explode→hash-agg signature path of the LSH family."""
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        shingles_expr(F.col(text_col), n).alias("_sh"),
-    ).where(F.size("_sh") > 0)
-    exploded = base.select("_id", F.explode("_sh").alias("shingle"))
+    # explode_outer + isNotNull on the generated attribute: evaluates the
+    # shingle HOF chain ONCE per row (a size()>0 pre-filter or an inferred
+    # generate filter would re-evaluate it — alias substitution pushes
+    # such filters below the projection). Shingle-less docs become one
+    # null row and are dropped right here.
+    exploded = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer(shingles_expr(F.col(text_col), n)).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
     spark = df.sparkSession
     default_p = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(default_p // 2, 1):
@@ -394,7 +414,9 @@ def ngram_frequencies(
     """Corpus-level top-N n-gram document frequencies (distinct per doc) —
     the vocabulary/stop-shingle profiling step of a data pipeline. One
     explode + one hash aggregate + a bounded ordered limit."""
-    sh = df.select(F.explode(shingles_expr(F.col(text_col), n)).alias("ngram"))
+    sh = df.select(
+        F.explode_outer(shingles_expr(F.col(text_col), n)).alias("ngram")
+    ).where(F.col("ngram").isNotNull())
     return (
         sh.groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
