@@ -163,25 +163,38 @@ class ParquetCatalog:
                 "duplicate keys in merge source — dedup before merging"
             )
         affected = sorted(int(r.part_bucket) for r in stats)
+        n_source = int(sum(r.n for r in stats))
         run_id = uuid.uuid4().hex[:12]
         run_dir = os.path.join(tdir, "merges", f"m_{run_id}")
         live = self.current_version(table)
+        obs = None
         if live is not None and affected:
+            from pyspark.sql import Observation
+
             # partition-pruned read of ONLY the affected buckets
             target = self.read(table).where(F.col("part_bucket").isin(affected))
             # upsert sources are normally tiny next to the table — AQE
             # turns this anti-join into a broadcast when the key set is
             # small; huge backfills degrade gracefully to a shuffle join
             keep = target.join(src.select(*key_cols), key_cols, "left_anti")
+            # commit stats ride the write job (Observation — no extra scan)
+            obs = Observation(f"merge_kept_{run_id}")
+            keep = keep.observe(obs, F.count(F.lit(1)).alias("n"))
             merged = keep.select(*data_cols, "part_bucket").unionByName(
                 src.select(*data_cols, "part_bucket")
             )
         else:
             merged = src
+        n_kept = 0
         if affected:
             merged.write.mode("overwrite").partitionBy("part_bucket").parquet(
                 run_dir
             )
+            if obs is not None:
+                try:
+                    n_kept = int(obs.get["n"])
+                except Exception:
+                    n_kept = 0  # AQE empty-relation path: nothing survived
         version = f"v_{run_id}"
         snap_dir = os.path.join(tdir, version)
         os.makedirs(snap_dir, exist_ok=True)
@@ -204,6 +217,18 @@ class ParquetCatalog:
                 json.dump({"key_cols": list(key_cols), "n_buckets": n_buckets}, f)
             os.replace(tmp, meta_path)
         self._commit_pointer(table, version)
+        # Iceberg-style commit summary, one row per merge snapshot
+        # (n_kept = pre-existing rows carried through the rewritten
+        # buckets; rewritten-bucket total = n_kept + n_source). Stats ride
+        # the write job's Observation — no extra scan.
+        self.append(
+            self.spark.createDataFrame(
+                [(table, version, n_source, n_kept, len(affected))],
+                "table string, version string, n_source long, n_kept long, "
+                "n_buckets_rewritten long",
+            ).withColumn("ts", F.current_timestamp()),
+            f"_merge_log_{table}",
+        )
         return version
 
     def vacuum_merges(self, table: str) -> list[str]:

@@ -242,3 +242,26 @@ def test_catalog_merge_upsert_bucket_cow(spark, tmp_path):
         cat.merge_upsert(dup, "terms", ["term_id"])
     with _pytest.raises(ValueError, match="merge keys"):
         cat.merge_upsert(delta, "terms", ["name"])
+
+
+def test_merge_log_commit_stats(spark, tmp_path):
+    """Each merge appends one commit-summary row (Iceberg snapshot-summary
+    analog): source rows, kept rows in rewritten buckets, bucket count."""
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "k long, v long"
+    )
+    cat.merge_upsert(base, "t", ["k"], n_buckets=4)
+    delta = spark.createDataFrame([(1, 99), (100, 1)], "k long, v long")
+    v2 = cat.merge_upsert(delta, "t", ["k"])
+    log = cat.read_log("_merge_log_t").orderBy("ts").collect()
+    assert len(log) == 2
+    first, second = log
+    assert (first.n_source, first.n_kept) == (30, 0)  # init: full write
+    assert second.version == v2
+    assert second.n_source == 2
+    # rewritten buckets carried everything except the matched key
+    total_after = cat.read("t").count()
+    assert total_after == 31
+    rewritten_total = second.n_kept + second.n_source
+    assert rewritten_total >= 2  # matched bucket's survivors + the 2 source rows
