@@ -6,6 +6,7 @@ from .embed import (
     cosine_expr,
     certainty_expr,
 )
+from .exprs import let_expr
 from .text import (
     curie_normalize,
     with_url_host,
@@ -17,6 +18,7 @@ from .text import (
 )
 
 __all__ = [
+    "let_expr",
     "EMBED_DIM",
     "EMBED_MODEL_STUB",
     "hash_embed_py",

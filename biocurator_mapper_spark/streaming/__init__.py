@@ -1,3 +1,8 @@
 from .incremental import incremental_triples_query, stream_pages_from_directory
+from .upsert import merge_upsert_stream
 
-__all__ = ["incremental_triples_query", "stream_pages_from_directory"]
+__all__ = [
+    "incremental_triples_query",
+    "stream_pages_from_directory",
+    "merge_upsert_stream",
+]
