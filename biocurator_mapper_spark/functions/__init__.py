@@ -12,6 +12,8 @@ from .text import (
     with_url_host,
     token_count,
     quality_score_cols,
+    quality_struct,
+    repetition_struct,
     lang_id_expr,
     doc_fingerprint,
     truncate_with_ellipsis,
@@ -29,6 +31,8 @@ __all__ = [
     "with_url_host",
     "token_count",
     "quality_score_cols",
+    "quality_struct",
+    "repetition_struct",
     "lang_id_expr",
     "doc_fingerprint",
     "truncate_with_ellipsis",
