@@ -840,6 +840,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_surfaces")
         )
 
+    def text_dup_ngrams(spark, sf_dir):
+        # Gopher duplicate-2-gram rule: char mass inside repeated bigrams
+        from biocurator_mapper_spark.functions.text import dup_ngram_chars_struct
+
+        d = _docs(spark, sf_dir)
+        return d.withColumn(
+            "_g", dup_ngram_chars_struct(F.col("text"), 2)
+        ).select(
+            "doc_id",
+            F.col("_g.dup_ngram_chars").alias("dup_ngram_chars"),
+            F.col("_g.dup_ngram_frac").alias("dup_ngram_frac"),
+        )
+
     def text_chunks(spark, sf_dir):
         # sliding token-window chunking (the pre-embedding step of every
         # retrieval/training pipeline): 64-token windows, 16-token overlap
@@ -892,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mention_recall": kg_mention_recall,
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
+        "text_dup_ngrams": text_dup_ngrams,
         "text_chunks": text_chunks,
         "catalog_merge_upsert": catalog_merge_upsert,
         "p1_parse_terms": p1_parse_terms,
@@ -1907,6 +1921,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "text_dup_ngrams": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 2
+                          THEN list_sort(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+                          ELSE [] END AS grams
+              FROM tok
+            ),
+            r AS (
+              SELECT doc_id, grams,
+                list_reduce(
+                  list_prepend({prev: '', run: 0, dup: 0, total: 0},
+                               list_transform(grams, x -> {prev: x, run: 0, dup: 0, total: 0})),
+                  (a, b) -> CASE WHEN b.prev = a.prev
+                    THEN {prev: b.prev, run: a.run + 1,
+                          dup: a.dup + length(b.prev)
+                               + CASE WHEN a.run = 1 THEN length(b.prev) ELSE 0 END,
+                          total: a.total + length(b.prev)}
+                    ELSE {prev: b.prev, run: 1, dup: a.dup,
+                          total: a.total + length(b.prev)} END
+                ) AS acc
+              FROM g
+            )
+            SELECT doc_id, acc.dup::BIGINT AS dup_ngram_chars,
+                   CASE WHEN acc.total > 0 THEN acc.dup / acc.total::DOUBLE
+                        ELSE 0.0 END AS dup_ngram_frac
+            FROM r
         """,
         "text_chunks": """
             WITH tok AS (

@@ -293,6 +293,70 @@ def repetition_cols(text: Column) -> dict[str, Column]:
     }
 
 
+def dup_ngram_chars_struct(text: Column, n: int = 2) -> Column:
+    """Gopher's duplicate-n-gram rule as ONE struct column: characters
+    inside n-grams occurring more than once in the document, as a count and
+    as a fraction of all n-gram characters. Integer-exact until the final
+    division, so a SQL oracle reproduces it bit-for-bit.
+
+    One tokenize (bound once via ``let_expr``), one sort, one aggregate
+    pass over the sorted n-gram array — same linear shape as
+    :func:`repetition_struct`."""
+    from .exprs import let_expr
+
+    def _merge(acc: Column, g: Column) -> Column:
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        # a run's 2nd occurrence retroactively counts the 1st too
+        add = F.when(
+            run >= 2,
+            F.length(g)
+            + F.when(run == 2, F.length(g)).otherwise(F.lit(0)),
+        ).otherwise(F.lit(0))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            (acc["dup"] + add).alias("dup"),
+            (acc["total"] + F.length(g)).alias("total"),
+        )
+
+    def _finish(acc: Column) -> Column:
+        return F.struct(
+            acc["dup"].cast("bigint").alias("dup_ngram_chars"),
+            F.when(
+                acc["total"] > 0, acc["dup"] / acc["total"].cast("double")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_ngram_frac"),
+        )
+
+    def _build(toks: Column) -> Column:
+        m = F.size(toks) - F.lit(n - 1)
+        sh = F.slice(toks, 1, m)
+        for off in range(1, n):
+            sh = F.zip_with(
+                sh,
+                F.slice(toks, off + 1, m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        grams = F.when(F.size(toks) >= n, sh).otherwise(
+            F.array().cast("array<string>")
+        )
+        return F.aggregate(
+            F.array_sort(grams),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("dup"),
+                F.lit(0).alias("total"),
+            ),
+            _merge,
+            _finish,
+        )
+
+    toks = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != "")
+    return let_expr(toks, _build)
+
+
 def lang_id_expr(text: Column) -> Column:
     """Stopword-vote language ID heuristic over ``LANG_STOPWORDS``
     (en/es/de/fr/it/pt/nl, else 'und').

@@ -182,3 +182,26 @@ def test_repetition_cols_planted(spark):
     assert out[2] == (1, 0.25, 0.0)
     assert out[3][0] == 3  # token 'a' ×3
     assert out[3][2] == 0.5  # 4 non-empty lines, 2 duplicates
+
+
+def test_dup_ngram_chars_planted(spark):
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.functions.text import dup_ngram_chars_struct
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c"), (2, "x y z"), (3, ""), (4, "w w w w")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.c, round(r.f, 6))
+        for r in df.withColumn("_g", dup_ngram_chars_struct(F.col("text"), 2))
+        .select("doc_id", F.col("_g.dup_ngram_chars").alias("c"), F.col("_g.dup_ngram_frac").alias("f"))
+        .collect()
+    }
+    # doc 1 bigrams: "a b"x3, "b a"x2, "b c" → dup chars 3*3+2*3=15 of 18
+    assert out[1] == (15, round(15 / 18, 6))
+    assert out[2] == (0, 0.0)
+    assert out[3] == (0, 0.0)
+    # doc 4: "w w"x3 → all 9 chars duplicated
+    assert out[4] == (9, 1.0)
