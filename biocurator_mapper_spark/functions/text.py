@@ -293,6 +293,141 @@ def repetition_cols(text: Column) -> dict[str, Column]:
     }
 
 
+def curation_signals_struct(text: Column, with_lang: bool = False) -> Column:
+    """Every curate() text signal from ONE tokenize: quality counters
+    (token count, stopword hits, summed token length — one aggregate over
+    the token array), repetition run-length (one aggregate over the sorted
+    array), duplicate-line fraction, and optionally the stopword-vote
+    language (folded into the quality aggregate's counters, zero extra
+    passes). Field values are expression-identical to
+    :func:`quality_struct` / :func:`repetition_struct` / :func:`lang_id_expr`
+    — this fusion only removes the redundant re-tokenizations (3 splits per
+    row → 1 on the default curation path)."""
+    from .exprs import let_expr
+
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
+    stop_list = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_langs = len(LANG_STOPWORDS)
+    word_arrays = [
+        F.array(*[F.lit(w) for w in words]) for _, words in LANG_STOPWORDS
+    ]
+    lang_codes = F.array(*[F.lit(code) for code, _ in LANG_STOPWORDS])
+
+    def _dup_frac(lines: Column) -> Column:
+        n_lines = F.size(lines)
+        return F.when(
+            n_lines > 0,
+            (n_lines - F.size(F.array_distinct(lines))) / n_lines.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    dup_line_frac = let_expr(
+        F.filter(
+            F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+            lambda l: l != "",
+        ),
+        _dup_frac,
+    )
+
+    def _q_merge(acc: Column, t: Column) -> Column:
+        fields = [
+            (acc["n"] + 1).alias("n"),
+            (acc["stop"] + F.array_contains(stop_list, t).cast("int")).alias(
+                "stop"
+            ),
+            (acc["len_sum"] + F.length(t)).alias("len_sum"),
+        ]
+        if with_lang:
+            hits = F.array(
+                *[F.array_contains(wa, t).cast("int") for wa in word_arrays]
+            )
+            fields.append(
+                F.zip_with(acc["hits"], hits, lambda a, b: a + b).alias("hits")
+            )
+        return F.struct(*fields)
+
+    def _q_finish(acc: Column) -> Column:
+        n_tokens = acc["n"]
+        safe_tokens = F.greatest(n_tokens, F.lit(1))
+        punct_ratio = n_punct / F.greatest(n_chars, F.lit(1)).cast("double")
+        stop_ratio = acc["stop"] / safe_tokens.cast("double")
+        mean_word_len = acc["len_sum"] / safe_tokens.cast("double")
+        score = (
+            F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.3
+            + F.least(stop_ratio * F.lit(3.0), F.lit(1.0)) * 0.4
+            + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
+            + F.when(
+                (mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)
+            ).otherwise(F.lit(0.0))
+            * 0.1
+        )
+        fields = [
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            punct_ratio.alias("punct_ratio"),
+            stop_ratio.alias("stopword_ratio"),
+            mean_word_len.alias("mean_word_len"),
+            score.alias("quality_score"),
+        ]
+        if with_lang:
+            scores = F.transform(
+                acc["hits"],
+                lambda hits, i: F.struct(
+                    hits.alias("hits"),
+                    (F.lit(n_langs - 1) - i).alias("prio"),
+                    F.try_element_at(lang_codes, i + F.lit(1)).alias("lang"),
+                ),
+            )
+            best = F.try_element_at(F.reverse(F.array_sort(scores)), F.lit(1))
+            fields.append(
+                F.when(best["hits"] > 0, best["lang"])
+                .otherwise(F.lit("und"))
+                .alias("lang")
+            )
+        return F.struct(*fields)
+
+    def _rep_merge(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"]).otherwise(F.lit(0)) + 1
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (acc["n"] + 1).alias("n"),
+        )
+
+    def _build(toks: Column) -> Column:
+        q_init = [
+            F.lit(0).alias("n"),
+            F.lit(0).alias("stop"),
+            F.lit(0).alias("len_sum"),
+        ]
+        if with_lang:
+            q_init.append(F.array(*[F.lit(0)] * n_langs).alias("hits"))
+        q = F.aggregate(toks, F.struct(*q_init), _q_merge, _q_finish)
+        rep = F.aggregate(
+            F.array_sort(toks),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+                F.lit(0).alias("n"),
+            ),
+            _rep_merge,
+            lambda acc: F.struct(
+                acc["best"].cast("bigint").alias("max_word_freq"),
+                F.when(acc["n"] > 0, acc["best"] / acc["n"].cast("double"))
+                .otherwise(F.lit(0.0))
+                .alias("max_word_freq_ratio"),
+            ),
+        )
+        return F.struct(
+            q.alias("q"), rep.alias("rep"), dup_line_frac.alias("dup_line_frac")
+        )
+
+    toks = F.filter(F.split(F.lower(text), r"[^\p{L}0-9']+"), lambda t: t != "")
+    return let_expr(toks, _build)
+
+
 def dup_ngram_chars_struct(text: Column, n: int = 2) -> Column:
     """Gopher's duplicate-n-gram rule as ONE struct column: characters
     inside n-grams occurring more than once in the document, as a count and

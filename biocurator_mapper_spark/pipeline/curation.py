@@ -22,10 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    curation_signals_struct,
     doc_fingerprint,
-    lang_id_expr,
-    quality_struct,
-    repetition_struct,
 )
 
 
@@ -44,25 +42,28 @@ def curate(
     """docs → kept docs with a ``curation_stage`` column marking survivors
     ('kept') and the first gate each rejected doc failed — one relation
     carries both the output corpus and the funnel report."""
-    lang = (
-        F.col(lang_col) if lang_col and lang_col in docs.columns
-        else lang_id_expr(F.col(text_col))
-    )
-    # materialize the two signal structs in their own projection, THEN fan
-    # out: each text pass (quality counters, repetition run-length) runs
-    # once per row instead of once per referenced signal column
+    declared_lang = lang_col and lang_col in docs.columns
+    # ONE fused signal struct materialized in its own projection, THEN
+    # fanned out: quality counters, repetition run-length and (when no
+    # declared lang column exists) the language vote all come from a single
+    # tokenize per row — the field values are expression-identical to the
+    # standalone quality_struct / repetition_struct / lang_id_expr
     staged = (
-        docs.withColumn("_q", quality_struct(F.col(text_col)))
-        .withColumn("_rep", repetition_struct(F.col(text_col)))
+        docs.withColumn(
+            "_s",
+            curation_signals_struct(F.col(text_col), with_lang=not declared_lang),
+        )
         .select(
             F.col(id_col),
             F.col(text_col),
-            F.col("_q.n_chars").alias("_nc"),
-            F.col("_q.n_tokens").alias("_nt"),
-            F.col("_q.punct_ratio").alias("_pr"),
-            F.col("_q.stopword_ratio").alias("_sr"),
-            F.col("_rep.max_word_freq_ratio").alias("_rr"),
-            lang.alias("_lang"),
+            F.col("_s.q.n_chars").alias("_nc"),
+            F.col("_s.q.n_tokens").alias("_nt"),
+            F.col("_s.q.punct_ratio").alias("_pr"),
+            F.col("_s.q.stopword_ratio").alias("_sr"),
+            F.col("_s.rep.max_word_freq_ratio").alias("_rr"),
+            (
+                F.col(lang_col) if declared_lang else F.col("_s.q.lang")
+            ).alias("_lang"),
             doc_fingerprint(F.col(text_col)).alias("fingerprint"),
         )
     )

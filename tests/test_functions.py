@@ -205,3 +205,58 @@ def test_dup_ngram_chars_planted(spark):
     assert out[3] == (0, 0.0)
     # doc 4: "w w"x3 → all 9 chars duplicated
     assert out[4] == (9, 1.0)
+
+
+def test_curation_signals_struct_matches_standalone(spark):
+    """The fused one-tokenize signal struct is expression-identical to the
+    standalone quality/repetition/lang functions (including the with_lang
+    branch, which curate() only uses when no declared lang column exists),
+    and its analyzed plan holds exactly ONE tokenizer split."""
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.functions.text import (
+        curation_signals_struct,
+        lang_id_expr,
+        quality_struct,
+        repetition_struct,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat on the mat. The cat sat again and again."),
+            (2, "el perro y el gato y la casa en la calle"),
+            (3, ""),
+            (4, "x\nx\ny w w w w w w w w w w w w"),
+        ],
+        ["doc_id", "text"],
+    )
+    fused = (
+        df.withColumn("_s", curation_signals_struct(F.col("text"), with_lang=True))
+        .select("doc_id", "_s.q.*", "_s.rep.*", "_s.dup_line_frac")
+        .collect()
+    )
+    base = (
+        df.withColumn("_q", quality_struct(F.col("text")))
+        .withColumn("_r", repetition_struct(F.col("text")))
+        .select("doc_id", "_q.*", F.col("_r.max_word_freq").alias("max_word_freq"),
+                F.col("_r.max_word_freq_ratio").alias("max_word_freq_ratio"),
+                F.col("_r.dup_line_frac").alias("dup_line_frac"),
+                lang_id_expr(F.col("text")).alias("lang"))
+        .collect()
+    )
+    fused_by_id = {r.doc_id: r.asDict() for r in fused}
+    for r in base:
+        f = fused_by_id[r.doc_id]
+        for field in ("n_chars", "n_tokens", "punct_ratio", "stopword_ratio",
+                      "mean_word_len", "quality_score", "max_word_freq",
+                      "max_word_freq_ratio", "dup_line_frac", "lang"):
+            assert f[field] == r[field], (r.doc_id, field, f[field], r[field])
+
+    # one tokenize: the lowered-text split appears exactly once
+    plan = (
+        df.withColumn("_s", curation_signals_struct(F.col("text"), with_lang=True))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(lower(") == 1
