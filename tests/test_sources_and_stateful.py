@@ -265,3 +265,27 @@ def test_merge_log_commit_stats(spark, tmp_path):
     assert total_after == 31
     rewritten_total = second.n_kept + second.n_source
     assert rewritten_total >= 2  # matched bucket's survivors + the 2 source rows
+
+
+def test_merge_snapshot_isolation_for_readers(spark, tmp_path):
+    """A reader that resolved the pre-merge snapshot keeps its exact view
+    while (and after) a merge commits — old-or-new, never a mix."""
+    import os
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(i, 1) for i in range(50)], "k long, rev long"
+    )
+    v1 = cat.merge_upsert(base, "t", ["k"], n_buckets=8)
+    v1_dir = os.path.join(cat._table_dir("t"), v1)
+    reader = spark.read.parquet(v1_dir)  # resolved the old pointer
+    before = {(r.k, r.rev) for r in reader.collect()}
+
+    cat.merge_upsert(
+        spark.createDataFrame([(0, 2), (99, 2)], "k long, rev long"), "t", ["k"]
+    )
+    after_old = {(r.k, r.rev) for r in spark.read.parquet(v1_dir).collect()}
+    assert after_old == before  # old snapshot untouched
+    new = {(r.k, r.rev) for r in cat.read("t").collect()}
+    assert (0, 2) in new and (99, 2) in new and (0, 1) not in new
+    assert len(new) == 51
