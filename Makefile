@@ -11,7 +11,7 @@ bench:
 	$(PY) bench.py
 
 scaling:
-	$(PY) tools/scaling_bench.py kg_triples
+	$(PY) tools/scaling_bench.py --levels 2,8 --replicas 150
 
 check-oracles:
 	$(PY) tools/check_oracles.py /root/testdata/sf0.01
