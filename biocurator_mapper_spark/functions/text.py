@@ -45,6 +45,17 @@ def with_url_host(col: Column) -> Column:
 
 # ------------------------------------------------------- training-data ops
 
+_EMPTY_STR_ARRAY = "array<string>"
+
+
+def _null_safe(arr: Column) -> Column:
+    """NULL array → empty array. ``aggregate`` over a NULL array returns
+    NULL without running the finish lambda, which would silently turn a
+    NULL ``text`` into NULL signals instead of the documented zero/'und'
+    values (and a NULL gate in curate() reads as 'passed')."""
+    return F.coalesce(arr, F.array().cast(_EMPTY_STR_ARRAY))
+
+
 
 def token_count(col: Column) -> Column:
     """Whitespace+punctuation tokenization count (BPE-ish regex split)."""
@@ -116,7 +127,9 @@ def quality_struct(text: Column) -> Column:
     no-CSE-across-columns rule as :func:`repetition_struct` (the former
     dict form re-split the text once per referenced signal)."""
     n_chars = F.length(text)
-    toks = F.filter(F.split(F.lower(text), r"[^\p{L}0-9']+"), lambda t: t != "")
+    toks = _null_safe(
+        F.filter(F.split(F.lower(text), r"[^\p{L}0-9']+"), lambda t: t != "")
+    )
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
     stop_list = F.array(*[F.lit(w) for w in _STOPWORDS])
 
@@ -228,7 +241,9 @@ def repetition_struct(text: Column) -> Column:
     directly would evaluate the whole chain N times per row."""
     from .exprs import let_expr
 
-    toks = F.filter(F.split(F.lower(text), r"[^\p{L}0-9']+"), lambda t: t != "")
+    toks = _null_safe(
+        F.filter(F.split(F.lower(text), r"[^\p{L}0-9']+"), lambda t: t != "")
+    )
 
     # bind the line array once: the fraction references it 4× and each
     # reference would otherwise re-split + re-trim the whole text
@@ -241,9 +256,11 @@ def repetition_struct(text: Column) -> Column:
         ).otherwise(F.lit(0.0))
 
     dup_line_frac = let_expr(
-        F.filter(
-            F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
-            lambda l: l != "",
+        _null_safe(
+            F.filter(
+                F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+                lambda l: l != "",
+            )
         ),
         _dup_frac,
     )
@@ -322,9 +339,11 @@ def curation_signals_struct(text: Column, with_lang: bool = False) -> Column:
         ).otherwise(F.lit(0.0))
 
     dup_line_frac = let_expr(
-        F.filter(
-            F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
-            lambda l: l != "",
+        _null_safe(
+            F.filter(
+                F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+                lambda l: l != "",
+            )
         ),
         _dup_frac,
     )
@@ -424,7 +443,9 @@ def curation_signals_struct(text: Column, with_lang: bool = False) -> Column:
             q.alias("q"), rep.alias("rep"), dup_line_frac.alias("dup_line_frac")
         )
 
-    toks = F.filter(F.split(F.lower(text), r"[^\p{L}0-9']+"), lambda t: t != "")
+    toks = _null_safe(
+        F.filter(F.split(F.lower(text), r"[^\p{L}0-9']+"), lambda t: t != "")
+    )
     return let_expr(toks, _build)
 
 
@@ -465,19 +486,10 @@ def dup_ngram_chars_struct(text: Column, n: int = 2) -> Column:
         )
 
     def _build(toks: Column) -> Column:
-        m = F.size(toks) - F.lit(n - 1)
-        sh = F.slice(toks, 1, m)
-        for off in range(1, n):
-            sh = F.zip_with(
-                sh,
-                F.slice(toks, off + 1, m),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        grams = F.when(F.size(toks) >= n, sh).otherwise(
-            F.array().cast("array<string>")
-        )
+        from .exprs import zip_ngrams_expr
+
         return F.aggregate(
-            F.array_sort(grams),
+            F.array_sort(zip_ngrams_expr(toks, n)),
             F.struct(
                 F.lit("").alias("prev"),
                 F.lit(0).alias("run"),
@@ -488,7 +500,9 @@ def dup_ngram_chars_struct(text: Column, n: int = 2) -> Column:
             _finish,
         )
 
-    toks = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != "")
+    toks = _null_safe(
+        F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != "")
+    )
     return let_expr(toks, _build)
 
 
@@ -509,7 +523,7 @@ def lang_id_expr(text: Column) -> Column:
         F.array(*[F.lit(w) for w in words]) for _, words in LANG_STOPWORDS
     ]
     lang_codes = F.array(*[F.lit(code) for code, _ in LANG_STOPWORDS])
-    toks = F.split(F.lower(text), r"[^\p{L}0-9']+")
+    toks = _null_safe(F.split(F.lower(text), r"[^\p{L}0-9']+"))
 
     def _merge(acc: Column, t: Column) -> Column:
         hits = F.array(

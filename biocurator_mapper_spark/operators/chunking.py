@@ -85,11 +85,15 @@ def chunk_documents(
     slice pass per row) and explodes in the next — a narrow, shuffle-free
     plan that scales with input splits.
     """
+    # explode_OUTER + isNotNull on the generated attribute: plain explode
+    # triggers InferFiltersFromGenerate, whose size(arr)>0 filter
+    # re-evaluates the whole tokenize/slice chain per row
     return (
         docs.withColumn(
             "_chunks", chunk_struct_array(F.col(text_col), chunk_tokens, overlap)
         )
-        .select(F.col(id_col), F.explode("_chunks").alias("_c"))
+        .select(F.col(id_col), F.explode_outer("_chunks").alias("_c"))
+        .where(F.col("_c").isNotNull())
         .select(
             id_col,
             F.col("_c.chunk_no").alias("chunk_no"),

@@ -41,19 +41,12 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
     references it ~(n + 5) times, and without the binding every reference
     re-runs the regex split + filter over the full text per row.
     """
-    from ..functions.exprs import let_expr
+    from ..functions.exprs import let_expr, zip_ngrams_expr
 
     def _build(toks: Column) -> Column:
-        m = F.size(toks) - F.lit(n - 1)  # number of shingles
-        sh = F.slice(toks, 1, m)
-        for off in range(1, n):
-            sh = F.zip_with(
-                sh,
-                F.slice(toks, off + 1, m),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
+        grams = zip_ngrams_expr(toks, n)
         return F.array_distinct(
-            F.when(F.size(toks) >= n, sh).otherwise(
+            F.when(F.size(toks) >= n, grams).otherwise(
                 # short docs: one shingle = whole token string, so they can
                 # still pair with identical short docs
                 F.when(

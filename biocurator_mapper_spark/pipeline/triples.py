@@ -466,7 +466,10 @@ class TriplesPipeline:
         identical output."""
         run_id = run_id or uuid.uuid4().hex[:12]
         sc = pages.sparkSession.sparkContext
-        group = f"biocurator-triples-{run_id}"
+        # attempt-unique group name: cancelJobGroupAndFutureJobs poisons a
+        # group id permanently, so a retry of a cancelled run_id must run
+        # under a FRESH group or its first job dies on submission
+        group = f"biocurator-triples-{run_id}-{uuid.uuid4().hex[:6]}"
         sc.setJobGroup(group, f"triples run {run_id} fp={run_fingerprint}")
         self._active_groups[run_id] = group
         try:

@@ -153,20 +153,37 @@ class ParquetCatalog:
         src = source.select(*data_cols).withColumn(
             "part_bucket", F.pmod(F.hash(*key_expr), F.lit(n_buckets))
         )
-        # one small agg job: bucket list for pruning + source-key dup check
+        # one small agg job: bucket list for pruning + key sanity checks
+        null_key = None
+        for c in key_cols:
+            cond = F.col(c).isNull()
+            null_key = cond if null_key is None else (null_key | cond)
         stats = src.groupBy("part_bucket").agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(*key_expr).alias("nd"),
+            F.sum(null_key.cast("int")).alias("nn"),
         ).collect()
+        if any(r.nn for r in stats):
+            raise ValueError("null values in merge key columns")
+        # nd (count_distinct) ignores NULLs, so this check is only sound
+        # after the null-key guard above
         if any(r.n != r.nd for r in stats):
             raise ValueError(
                 "duplicate keys in merge source — dedup before merging"
             )
         affected = sorted(int(r.part_bucket) for r in stats)
         n_source = int(sum(r.n for r in stats))
+        live = self.current_version(table)
+        if not affected:
+            if live is None:
+                # committing a pointer to an empty snapshot would brick the
+                # table (readers can't infer a schema from zero files)
+                raise ValueError(
+                    "cannot initialize a table from an empty merge source"
+                )
+            return live  # nothing to merge: keep the current snapshot
         run_id = uuid.uuid4().hex[:12]
         run_dir = os.path.join(tdir, "merges", f"m_{run_id}")
-        live = self.current_version(table)
         obs = None
         if live is not None and affected:
             from pyspark.sql import Observation

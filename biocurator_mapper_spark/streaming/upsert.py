@@ -29,6 +29,7 @@ def merge_upsert_stream(
     checkpoint_dir: str,
     order_col: str | None = None,
     n_buckets: int = 64,
+    trigger: dict | None = None,
 ) -> StreamingQuery:
     """stream → one MERGE per micro-batch into ``catalog.<table>``.
 
@@ -37,8 +38,11 @@ def merge_upsert_stream(
     so the batch is reduced to one row per key first — by max ``order_col``
     (latest wins, ties broken arbitrarily-but-deterministically by the
     remaining sort) when given, else an arbitrary-but-deterministic pick.
-    Returns the started query (caller awaits termination).
-    """
+    ``trigger`` is passed to ``writeStream.trigger`` — default
+    ``{"availableNow": True}`` drains what exists and stops (batch-style
+    catch-up); pass e.g. ``{"processingTime": "1 minute"}`` for a
+    long-lived continuous sink. Returns the started query (caller awaits
+    termination)."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -59,6 +63,6 @@ def merge_upsert_stream(
     return (
         stream_df.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

@@ -260,3 +260,50 @@ def test_curation_signals_struct_matches_standalone(spark):
         .toString()
     )
     assert plan.count("split(lower(") == 1
+
+
+def test_null_text_yields_zero_signals_not_null(spark):
+    """aggregate over a NULL token array returns NULL without running the
+    finish lambda — a NULL text row must still produce the documented
+    zero/'und' signals so curation gates fire instead of reading NULL as
+    'passed'."""
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.functions.text import (
+        curation_signals_struct,
+        dup_ngram_chars_struct,
+        lang_id_expr,
+        quality_struct,
+        repetition_struct,
+    )
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = (
+        df.withColumn("_q", quality_struct(F.col("text")))
+        .withColumn("_r", repetition_struct(F.col("text")))
+        .withColumn("_g", dup_ngram_chars_struct(F.col("text")))
+        .withColumn("_s", curation_signals_struct(F.col("text"), with_lang=True))
+        .select(
+            lang_id_expr(F.col("text")).alias("lang"),
+            "_q.n_tokens", "_r.max_word_freq", "_r.dup_line_frac",
+            "_g.dup_ngram_chars", "_s.q.lang", "_s.rep.max_word_freq_ratio",
+        )
+        .collect()[0]
+    )
+    assert r["lang"] == "und"
+    assert r["n_tokens"] == 0
+    assert r["max_word_freq"] == 0
+    assert r["dup_line_frac"] == 0.0
+    assert r["dup_ngram_chars"] == 0
+    assert r["_s.q.lang" if "_s.q.lang" in r.asDict() else "lang"] is not None
+
+    # and curate() rejects (not keeps) a null-text doc
+    from biocurator_mapper_spark.pipeline.curation import curate
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the cat sat on the mat " * 20)],
+        "doc_id long, text string",
+    )
+    stages = {r.doc_id: r.curation_stage for r in curate(docs, lang_col=None).collect()}
+    assert stages[1] != "kept"
+    assert stages[2] == "kept"

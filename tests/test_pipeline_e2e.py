@@ -210,3 +210,36 @@ def test_cancel_mid_run_then_resume_identical(spark, terms, tmp_path):
     # resume to identical output
     out = pipe.run(pages, terms, "fpCancel")
     assert {(r.subj, r.pred, r.obj) for r in out.collect()} == expected
+
+
+def test_cancel_then_retry_same_run_id(spark, terms, tmp_path):
+    """cancelJobGroupAndFutureJobs poisons a group id permanently — a retry
+    of a cancelled run under the SAME run_id must run in a fresh
+    attempt-unique group and succeed."""
+    import threading
+    import time as _t
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    pipe = TriplesPipeline(cat, n_buckets=2)
+    pages = pages_dataframe(spark, SURFACES, n_pages=60, seed=2)
+    errs: list[Exception] = []
+
+    def _target():
+        try:
+            pipe.run(pages, terms, "fpRetry", run_id="r1")
+        except Exception as e:
+            errs.append(e)
+
+    th = threading.Thread(target=_target)
+    th.start()
+    deadline = _t.time() + 60
+    while "r1" not in pipe._active_groups and th.is_alive() and _t.time() < deadline:
+        _t.sleep(0.002)
+    cancelled = pipe.cancel("r1")
+    th.join(timeout=120)
+    assert not th.is_alive()
+    if cancelled:  # cancel landed while in flight → run raised
+        assert errs
+
+    out = pipe.run(pages, terms, "fpRetry", run_id="r1")
+    assert out.count() > 0

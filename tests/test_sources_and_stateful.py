@@ -289,3 +289,27 @@ def test_merge_snapshot_isolation_for_readers(spark, tmp_path):
     new = {(r.k, r.rev) for r in cat.read("t").collect()}
     assert (0, 2) in new and (99, 2) in new and (0, 1) not in new
     assert len(new) == 51
+
+
+def test_merge_upsert_guards(spark, tmp_path):
+    """Empty source on a missing table must raise (a pointer to an empty
+    snapshot bricks the table); empty source on an existing table is a
+    no-op keeping the current snapshot; NULL keys raise a null-key error,
+    not a spurious duplicate-key one."""
+    import pytest as _pytest
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    empty = spark.createDataFrame([], "k long, v long")
+    with _pytest.raises(ValueError, match="empty merge source"):
+        cat.merge_upsert(empty, "t", ["k"])
+
+    v1 = cat.merge_upsert(
+        spark.createDataFrame([(1, 1)], "k long, v long"), "t", ["k"]
+    )
+    assert cat.merge_upsert(empty, "t", ["k"]) == v1  # no-op keeps snapshot
+    assert cat.read("t").count() == 1
+
+    with _pytest.raises(ValueError, match="null values in merge key"):
+        cat.merge_upsert(
+            spark.createDataFrame([(None, 9)], "k long, v long"), "t", ["k"]
+        )
