@@ -191,11 +191,19 @@ def test_cancel_mid_run_then_resume_identical(spark, terms, tmp_path):
 
     th = threading.Thread(target=_target)
     th.start()
+    # job groups are attempt-unique — resolve the actual group from the
+    # pipeline registry, then wait for an in-flight Spark job in it (or a
+    # short grace period: the sticky cancel flag still interrupts at the
+    # next stage boundary even between jobs)
     tracker = spark.sparkContext.statusTracker()
     deadline = _t.time() + 120
+    first_seen = None
     while _t.time() < deadline:
-        if tracker.getJobIdsForGroup("biocurator-triples-cancelme"):
-            break
+        group = pipe._active_groups.get("cancelme")
+        if group is not None:
+            first_seen = first_seen or _t.time()
+            if tracker.getJobIdsForGroup(group) or _t.time() - first_seen > 2:
+                break
         _t.sleep(0.02)
     cancelled = pipe.cancel("cancelme")
     th.join(timeout=120)
