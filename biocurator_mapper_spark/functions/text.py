@@ -39,8 +39,13 @@ def content_hash(*cols: Column) -> Column:
 
 
 def with_url_host(col: Column) -> Column:
-    """Hostname of a URL — the skew/salting key for head domains."""
-    return F.parse_url(col, F.lit("HOST"))
+    """Hostname of a URL — the skew/salting key for head domains.
+
+    ``try_parse_url``: under Spark 4 ANSI mode plain ``parse_url`` THROWS
+    on a malformed URL, and crawl data routinely carries unencoded
+    spaces/brackets — one bad row must become a NULL host, not a dead
+    stream/job."""
+    return F.try_parse_url(col, F.lit("HOST"))
 
 
 # ------------------------------------------------------- training-data ops

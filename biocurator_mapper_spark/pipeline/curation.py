@@ -61,8 +61,12 @@ def curate(
             F.col("_s.q.punct_ratio").alias("_pr"),
             F.col("_s.q.stopword_ratio").alias("_sr"),
             F.col("_s.rep.max_word_freq_ratio").alias("_rr"),
+            # declared lang may be NULL (crawl metadata gaps): coalesce to
+            # 'und' so ~isin(keep_langs) fires instead of NULL-passing
             (
-                F.col(lang_col) if declared_lang else F.col("_s.q.lang")
+                F.coalesce(F.col(lang_col), F.lit("und"))
+                if declared_lang
+                else F.col("_s.q.lang")
             ).alias("_lang"),
             doc_fingerprint(F.col(text_col)).alias("fingerprint"),
         )

@@ -204,8 +204,19 @@ def embed_with_cache(
         )
         # re-read so the plan below consumes materialized vectors, not a
         # second provider invocation
+        cache_log = catalog.read_log(cache_table)
+        if cache_log is None:
+            # zero-row first call: the append wrote no files so there is no
+            # cache to re-read — and with no prior cache every row was a
+            # miss, so the output is empty (correct schema, zero rows)
+            return (
+                df.drop("_cached_vec")
+                .withColumn(out_col, F.lit(None).cast(ArrayType(FloatType())))
+                .drop("_text_hash")
+                .where(F.lit(False))
+            )
         fresh = (
-            catalog.read_log(cache_table)
+            cache_log
             .where(F.col("model") == provider)
             .select(F.col("text_hash").alias("_text_hash"), "embedding")
             .dropDuplicates(["_text_hash"])

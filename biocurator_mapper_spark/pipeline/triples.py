@@ -540,20 +540,34 @@ class TriplesPipeline:
             F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int"),
         )
 
+        # Resume state is keyed by FINGERPRINT, not by whatever snapshot
+        # happens to be live: runs of other fingerprints may have published
+        # since, and trusting the live pointer would return (or re-link)
+        # another input's data. The latest committed run_id for this
+        # fingerprint names the snapshot its buckets live in; if that
+        # snapshot was vacuumed, the checkpoints are unusable and the run
+        # recomputes from scratch.
         done: list[int] = []
+        fp_version: str | None = None
         log = self.catalog.read_log("_checkpoints")
         if log is not None:
-            done = [
-                r.part_bucket
-                for r in log.where(
+            ck_rows = (
+                log.where(
                     (F.col("fingerprint") == run_fingerprint)
                     & (F.col("stage") == "triples")
                     & (F.col("status") == "committed")
                 )
-                .select("part_bucket")
-                .distinct()
+                .select("part_bucket", "run_id", "committed_ts")
                 .collect()
-            ]
+            )
+            if ck_rows:
+                latest = max(ck_rows, key=lambda r: (r.committed_ts, r.run_id))
+                cand = f"v_{latest.run_id}"
+                if os.path.isdir(
+                    os.path.join(self.catalog._table_dir("triples"), cand)
+                ):
+                    fp_version = cand
+                    done = sorted({r.part_bucket for r in ck_rows})
         todo = pages_b.where(~F.col("part_bucket").isin(done)) if done else pages_b
 
         triples_schema = None
@@ -601,7 +615,7 @@ class TriplesPipeline:
                 # degenerate case is an explicit count needed for the
                 # metrics row — the normal path never rescans.
                 n_in = todo.count()
-            self._publish_snapshot(run_id, done)
+            self._publish_snapshot(run_id, done, fp_version)
 
         self._check_cancelled(run_id)
         elapsed = time.monotonic() - t0
@@ -630,29 +644,34 @@ class TriplesPipeline:
             ).withColumn("ts", F.current_timestamp()),
             "_metrics",
         )
+        if fp_version is not None and len(set(done)) >= self.n_buckets:
+            # full resume: no new snapshot was published — return THIS
+            # fingerprint's snapshot (live may belong to another input)
+            return self.catalog.read("triples", version=fp_version)
         return self._read_triples(spark, triples_schema)
 
-    def _publish_snapshot(self, run_id: str, done: list[int]) -> None:
+    def _publish_snapshot(
+        self, run_id: str, done: list[int], prev_version: str | None = None
+    ) -> None:
         """Immutable-snapshot publish (Iceberg-manifest semantics over a
         plain filesystem): the new snapshot directory holds one symlink per
         bucket — freshly written buckets point into this run's ``runs/r_*``
         output; resumed (``done``) buckets point at the SAME immutable
-        bucket dirs the previous snapshot referenced. Run outputs are never
-        modified after being written, so a reader that resolved the old
-        pointer keeps a consistent view while (and after) the new pointer
-        lands via the atomic ``os.replace`` swap. A recomputed bucket that
-        yields zero rows simply has no entry — stale rows from earlier runs
-        of a DIFFERENT input can't leak into this snapshot."""
-        import json
-
+        bucket dirs ``prev_version`` referenced (the caller resolves the
+        snapshot belonging to THIS fingerprint — the live pointer may hold
+        another input's snapshot). Run outputs are never modified after
+        being written, so a reader that resolved the old pointer keeps a
+        consistent view while (and after) the new pointer lands via the
+        atomic ``os.replace`` swap. A recomputed bucket that yields zero
+        rows simply has no entry — stale rows from earlier runs of a
+        DIFFERENT input can't leak into this snapshot."""
         tdir = self.catalog._table_dir("triples")
         run_dir = os.path.join(tdir, "runs", f"r_{run_id}")
         snap_dir = os.path.join(tdir, f"v_{run_id}")
         os.makedirs(snap_dir, exist_ok=True)
         targets: dict[str, str] = {}
-        prev = self.catalog.current_version("triples")
-        if prev is not None and done:
-            prev_dir = os.path.join(tdir, prev)
+        if prev_version is not None and done:
+            prev_dir = os.path.join(tdir, prev_version)
             done_names = {f"part_bucket={int(b)}" for b in done}
             for name in os.listdir(prev_dir) if os.path.isdir(prev_dir) else []:
                 if name in done_names:
@@ -663,13 +682,24 @@ class TriplesPipeline:
                     targets[name] = os.path.join(run_dir, name)
         for name, target in targets.items():
             os.symlink(target, os.path.join(snap_dir, name))
-        pointer = self.catalog._pointer_path("triples")
-        tmp = pointer + f".tmp.{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as f:
-            json.dump({"version": f"v_{run_id}"}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, pointer)
+        prev_live = self.catalog.current_version("triples")
+        self.catalog._commit_pointer("triples", f"v_{run_id}")
+        # Supersession stamp: vacuum's grace window measures a dir's mtime,
+        # which must mean "time since it became unreferenced", not "time it
+        # was written" — touch the just-superseded snapshot and the run
+        # dirs it references so a reader that resolved the old pointer a
+        # moment before the flip gets the full retention window.
+        if prev_live and prev_live != f"v_{run_id}":
+            now = time.time()
+            prev_live_dir = os.path.join(tdir, prev_live)
+            if os.path.isdir(prev_live_dir):
+                os.utime(prev_live_dir, (now, now))
+                for name in os.listdir(prev_live_dir):
+                    rd = os.path.dirname(
+                        os.path.realpath(os.path.join(prev_live_dir, name))
+                    )
+                    if os.path.isdir(rd):
+                        os.utime(rd, (now, now))
 
     def vacuum(self, retain_seconds: float = 3600.0) -> list[str]:
         """Delete run directories no longer referenced by the live snapshot

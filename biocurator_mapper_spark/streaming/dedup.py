@@ -38,8 +38,18 @@ def streaming_exact_dedup(
     watermark horizon. Keyed by the normalized-content fingerprint (the
     same md5 the batch ``fingerprint_dedup`` groups by), so case/spacing
     variants collapse too."""
+    # NULL text → NULL fingerprint, and dropDuplicatesWithinWatermark
+    # treats NULL keys as EQUAL — all not-yet-extracted (html-only) pages
+    # would collapse to one. Key such rows by their unique url instead so
+    # they pass through for later extraction.
     return (
-        pages_stream.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
+        pages_stream.withColumn(
+            "fingerprint",
+            F.coalesce(
+                doc_fingerprint(F.col(text_col)),
+                F.concat(F.lit("nullarmor:"), F.col("url")),
+            ),
+        )
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )

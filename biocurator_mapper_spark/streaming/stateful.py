@@ -19,6 +19,8 @@ from collections.abc import Iterable
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.text import with_url_host
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -59,7 +61,7 @@ def host_stats_stream(pages_stream: DataFrame) -> DataFrame:
     traffic, which Spark hash-partitions across the cluster.
     """
     with_host = pages_stream.select(
-        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        with_url_host(F.col("url")).alias("host"),
         F.coalesce(
             F.length(F.col("html")).cast("long"),
             F.length(F.col("text")).cast("long"),

@@ -36,8 +36,9 @@ def merge_upsert_stream(
     A micro-batch may carry several rows for one key (e.g. a page
     re-crawled within the batch window); MERGE requires unique source keys,
     so the batch is reduced to one row per key first — by max ``order_col``
-    (latest wins, ties broken arbitrarily-but-deterministically by the
-    remaining sort) when given, else an arbitrary-but-deterministic pick.
+    (latest wins, ties broken deterministically by the remaining sort)
+    when given, else the struct-minimum row over the non-key columns
+    (deterministic, so a replayed batch commits identical content).
     ``trigger`` is passed to ``writeStream.trigger`` — default
     ``{"availableNow": True}`` drains what exists and stops (batch-style
     catch-up); pass e.g. ``{"processingTime": "1 minute"}`` for a
@@ -57,7 +58,16 @@ def merge_upsert_stream(
                 .drop("_rn")
             )
         else:
-            src = batch_df.dropDuplicates(key_cols)
+            # dropDuplicates picks a partitioning-dependent winner — a
+            # replayed batch could commit different content. min over a
+            # struct of the remaining columns is deterministic, keeping
+            # merge replay idempotent (columns must be orderable).
+            others = [c for c in batch_df.columns if c not in key_cols]
+            src = (
+                batch_df.groupBy(*key_cols)
+                .agg(F.min(F.struct(*others)).alias("_row"))
+                .select(*key_cols, "_row.*")
+            )
         catalog.merge_upsert(src, table, key_cols, n_buckets=n_buckets)
 
     return (

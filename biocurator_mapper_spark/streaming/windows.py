@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import with_url_host
+
 
 def windowed_crawl_stats(
     pages: DataFrame,
@@ -31,7 +33,7 @@ def windowed_crawl_stats(
     return (
         df.select(
             F.col("warc_ts"),
-            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            with_url_host(F.col("url")).alias("host"),
             F.coalesce(
                 F.length(F.col("html")).cast("long"),
                 F.length(F.col("text")).cast("long"),

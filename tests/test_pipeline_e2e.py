@@ -251,3 +251,39 @@ def test_cancel_then_retry_same_run_id(spark, terms, tmp_path):
 
     out = pipe.run(pages, terms, "fpRetry", run_id="r1")
     assert out.count() > 0
+
+
+def test_resume_is_fingerprint_scoped_not_live_scoped(spark, terms, tmp_path):
+    """Checkpoint resume must return THIS fingerprint's snapshot even when
+    a different input's run published since: trusting the live pointer
+    would silently hand back another corpus's triples."""
+    catalog = ParquetCatalog(spark, str(tmp_path / "wh"))
+    pipe = TriplesPipeline(catalog, n_buckets=4)
+    pages_a = pages_dataframe(spark, SURFACES, n_pages=20, seed=11)
+    pages_b = pages_dataframe(spark, SURFACES, n_pages=35, seed=22)
+
+    subj_a = {r.subj for r in pipe.run(pages_a, terms, "fpA").collect()}
+    subj_b = {r.subj for r in pipe.run(pages_b, terms, "fpB").collect()}
+    assert subj_a != subj_b
+
+    # full resume of fpA AFTER fpB went live: identical output to run 1
+    resumed = {r.subj for r in pipe.run(pages_a, terms, "fpA").collect()}
+    assert resumed == subj_a
+    m = catalog.read_log("_metrics").orderBy("ts").collect()
+    assert m[-1].rows_in == 0  # it really resumed — zero recompute
+
+    # and the fpB live pointer is untouched by the fpA resume
+    assert {r.subj for r in catalog.read("triples").collect()} == subj_b
+
+    # vacuumed fingerprint snapshot → checkpoints unusable → honest
+    # recompute instead of returning wrong/missing data
+    import shutil
+
+    tdir = catalog._table_dir("triples")
+    for v in [n for n in __import__("os").listdir(tdir) if n.startswith("v_")]:
+        if {r.subj for r in spark.read.parquet(f"{tdir}/{v}").collect()} == subj_a:
+            shutil.rmtree(f"{tdir}/{v}")
+    recomputed = {r.subj for r in pipe.run(pages_a, terms, "fpA").collect()}
+    assert recomputed == subj_a
+    m2 = catalog.read_log("_metrics").orderBy("ts").collect()
+    assert m2[-1].rows_in > 0  # actually recomputed
