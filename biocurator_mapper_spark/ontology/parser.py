@@ -182,6 +182,13 @@ def quality_filter(
     return terms.where(_quality_predicate(min_definition_length, exclude_patterns, definition_required, include_obsolete))
 
 
+def _null_fails(pred: Column) -> Column:
+    """Three-valued logic guard: a NULL predicate (NULL name/definition)
+    must count as FAILING the gate, so filter ∪ rejects == input instead of
+    such rows vanishing from both sides."""
+    return F.coalesce(pred, F.lit(False))
+
+
 def quality_rejects(
     terms: DataFrame,
     min_definition_length: int = 10,
@@ -192,8 +199,13 @@ def quality_rejects(
     """The complement of :func:`quality_filter`, with a rejection reason column
     (mirrors filter_terms' rejection_reasons, do_embeddings.py:147-168 — but as
     a second filtered scan instead of a driver-side list)."""
-    pred = _quality_predicate(
-        min_definition_length, exclude_patterns, definition_required, include_obsolete
+    pred = _null_fails(
+        _quality_predicate(
+            min_definition_length,
+            exclude_patterns,
+            definition_required,
+            include_obsolete,
+        )
     )
     return terms.where(~pred).withColumn(
         "reject_reason",
@@ -201,7 +213,7 @@ def quality_rejects(
             F.lit("Term "),
             F.col("term_id"),
             F.lit(" ("),
-            F.col("name"),
+            F.coalesce(F.col("name"), F.lit("")),
             F.lit(") rejected by quality filters"),
         ),
     )

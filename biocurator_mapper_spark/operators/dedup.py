@@ -167,12 +167,16 @@ def minhash_signature_cols(text: Column, n: int = 3, num_hashes: int = 16) -> li
     md5(seed ∥ shingle) hex (string min — identical semantics in any engine).
     Null when the document has no shingles."""
     sh = shingles_expr(text, n)
-    return [
-        F.array_min(
-            F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+
+    def _mh(i: int) -> Column:
+        # helper, NOT a `lambda s, i=i:` default — a two-arg transform
+        # lambda receives (element, INDEX) and would silently bind the
+        # index Column as the seed (see CLAUDE.md)
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
         ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+
+    return [_mh(i) for i in range(num_hashes)]
 
 
 def minhash_lsh_pairs(

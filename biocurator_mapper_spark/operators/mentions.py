@@ -130,10 +130,13 @@ try:  # optional C fast path — not in every container; semantics identical
 except ImportError:  # pragma: no cover - depends on environment
     _pyahocorasick = None
 
-# per-worker automaton cache (broadcast id → compiled C automaton): the C
-# automaton is rebuilt once per worker from the broadcast pattern list
-# instead of being pickled through the broadcast itself
-_C_AUTOMATON_CACHE: dict[int, object] = {}
+# Per-worker automaton cache, keyed by CONTENT hash of the pattern list
+# (not broadcast id: every scan call creates a fresh broadcast, and an
+# id-keyed cache would retain one tens-of-MB automaton per call per worker
+# forever). Bounded: repeated jobs over the same ontology hit one entry;
+# a dictionary change evicts the oldest.
+_C_AUTOMATON_CACHE: dict[str, object] = {}
+_C_AUTOMATON_CACHE_MAX = 4
 
 
 def broadcast_scanner(spark, surfaces: list[str]):
@@ -144,20 +147,24 @@ def broadcast_scanner(spark, surfaces: list[str]):
     (rebuilt per worker from broadcast patterns), else the picklable
     pure-Python automaton."""
     if _pyahocorasick is not None:
+        import hashlib
+
         patterns = sorted({p.lower() for p in surfaces if p})
+        key = hashlib.md5("\x00".join(patterns).encode()).hexdigest()
         bc = spark.sparkContext.broadcast(patterns)
-        bid = bc.id
 
         def _get():
             import ahocorasick
 
-            auto = _C_AUTOMATON_CACHE.get(bid)
+            auto = _C_AUTOMATON_CACHE.get(key)
             if auto is None:
                 auto = ahocorasick.Automaton()
                 for p in bc.value:
                     auto.add_word(p, p)
                 auto.make_automaton()
-                _C_AUTOMATON_CACHE[bid] = auto
+                while len(_C_AUTOMATON_CACHE) >= _C_AUTOMATON_CACHE_MAX:
+                    _C_AUTOMATON_CACHE.pop(next(iter(_C_AUTOMATON_CACHE)))
+                _C_AUTOMATON_CACHE[key] = auto
 
             def find(t):
                 if not t:

@@ -75,11 +75,19 @@ def rerank_best_match(
             lambda m: F.struct((-F.length(m)).alias("l"), m.alias("m")),
         )
     )
-    scored = enriched.withColumn(
-        "mention", F.try_element_at(mention_ranked, F.lit(1))["m"]
-    ).withColumn(
-        "stub_score",
-        F.when(exact_hit, F.lit(1.0)).otherwise(F.lit(0.0)) + F.col("certainty"),
+    scored = (
+        enriched.withColumn(
+            "mention", F.try_element_at(mention_ranked, F.lit(1))["m"]
+        )
+        # carry the exact flag itself: `stub_score >= 1.0` is NOT a valid
+        # exactness proxy (a non-exact candidate with certainty exactly
+        # 1.0 would claim the exact-match bonus and reason)
+        .withColumn("_exact_hit", exact_hit)
+        .withColumn(
+            "stub_score",
+            F.when(F.col("_exact_hit"), F.lit(1.0)).otherwise(F.lit(0.0))
+            + F.col("certainty"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("stub_score"), F.desc("certainty"), F.asc("term_id")
@@ -113,13 +121,13 @@ def rerank_best_match(
             F.least(
                 F.lit(1.0),
                 F.col("certainty")
-                + F.when(F.col("stub_score") >= 1.0, F.lit(0.05)).otherwise(F.lit(0.0)),
+                + F.when(F.col("_exact_hit"), F.lit(0.05)).otherwise(F.lit(0.0)),
             ).cast("float"),
         )
         .withColumn(
             "reason",
             F.when(
-                F.col("stub_score") >= 1.0,
+                F.col("_exact_hit"),
                 F.concat(
                     F.lit("exact surface match '"),
                     F.col("mention"),
@@ -132,7 +140,7 @@ def rerank_best_match(
                 )
             ),
         )
-        .drop("stub_score", "exact_synonyms", "mentions")
+        .drop("stub_score", "_exact_hit", "exact_synonyms", "mentions")
     )
 
 

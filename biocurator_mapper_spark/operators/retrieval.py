@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text: Column) -> Column:
-    return F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != "")
+    # the SAME tokenizer as the dedup/shingle family — imported, not
+    # re-implemented, so the two can never drift
+    from .dedup import tokens_expr
+
+    return tokens_expr(text)
 
 
 def bm25_stats(
@@ -45,7 +49,8 @@ def bm25_stats(
     ]
     row = docs.agg(*aggs).collect()[0]
     n = int(row["_n"])
-    avgdl = (int(row["_dl"]) / n) if n else 0.0
+    # sum() over an all-NULL-text corpus aggregates to NULL → treat as 0
+    avgdl = (int(row["_dl"] or 0) / n) if n else 0.0
     dfs = {t: int(row[f"_df_{i}"]) for i, t in enumerate(query_terms)}
     return n, avgdl, dfs
 
@@ -81,7 +86,12 @@ def bm25_topk(
     for t in query_terms:
         idf = bm25_idf(n, dfs[t])
         tf = _tf(t)
-        denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+        # avgdl can be 0 (rows exist but no ascii-alnum tokens) — ANSI
+        # mode would abort the job with DIVIDE_BY_ZERO; with dl also 0 in
+        # that case, any positive stand-in yields the same 0 tf term
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl or 1.0)
+        )
         score = score + F.lit(idf) * (tf * F.lit(k1 + 1.0) / denom)
     return (
         docs.select(F.col(id_col), score.alias("score"))

@@ -214,6 +214,10 @@ def ivf_centroids(
     """Quantized int64 centroid matrix trained on the deterministic sample
     (shared by the Spark operator and the oracle generator)."""
     rows = ivf_sample_rows(corpus, corpus_id_col, corpus_vec, train_sample)
+    if not rows:
+        # empty corpus (e.g. everything filtered upstream): no centroids —
+        # callers return an empty result instead of crashing in k-means
+        return np.zeros((0, 0), dtype=np.int64)
     sample = np.array([r._v for r in rows], dtype=np.float32)
     cents = _kmeans_lite(sample, n_centroids, seed=seed)
     return quantize(cents.astype(np.float64), CENTROID_SCALE)
@@ -255,6 +259,19 @@ def ivf_topk(
     qcents = ivf_centroids(
         corpus, corpus_id_col, corpus_vec, n_centroids, train_sample, seed
     )
+    if qcents.size == 0:
+        # empty corpus → empty top-k with the full output schema (corpus id
+        # keeps its declared type)
+        cid_type = corpus.schema[corpus_id_col].dataType
+        return (
+            queries.select(
+                F.col(query_id_col),
+                F.lit(None).cast(cid_type).alias(corpus_id_col),
+                F.lit(0).alias("rank"),
+                F.lit(0.0).alias("cosine"),
+                F.lit(0.0).alias("certainty"),
+            ).where(F.lit(False))
+        )
     bc = spark.sparkContext.broadcast(qcents)
 
     def _assign_udf(n_nearest: int):

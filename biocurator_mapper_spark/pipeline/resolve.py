@@ -106,7 +106,9 @@ class Resolver:
         )
         (score, certainty, hit), best_i = ranked[0]
         best = self.terms[self.ids[best_i]]
-        confidence = min(1.0, certainty + (0.05 if score >= 1.0 else 0.0))
+        # exactness bonus keys on the hit itself, not score >= 1.0 (a
+        # non-exact candidate with certainty exactly 1.0 is not exact)
+        confidence = min(1.0, certainty + (0.05 if hit is not None else 0.0))
         reason = (
             f"exact surface match '{hit}' for {best.term_id}"
             if hit is not None

@@ -679,7 +679,12 @@ class TriplesPipeline:
         if os.path.isdir(run_dir):
             for name in os.listdir(run_dir):
                 if name.startswith("part_bucket="):
-                    targets[name] = os.path.join(run_dir, name)
+                    # absolute target — a relative warehouse path would
+                    # otherwise produce symlinks that resolve relative to
+                    # the link's own directory (dangling)
+                    targets[name] = os.path.realpath(
+                        os.path.join(run_dir, name)
+                    )
         for name, target in targets.items():
             os.symlink(target, os.path.join(snap_dir, name))
         prev_live = self.catalog.current_version("triples")

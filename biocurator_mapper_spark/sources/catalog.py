@@ -225,7 +225,12 @@ class ParquetCatalog:
         if os.path.isdir(run_dir):
             for name in os.listdir(run_dir):
                 if name.startswith("part_bucket="):
-                    targets[name] = os.path.join(run_dir, name)
+                    # absolute target: a relative warehouse path would make
+                    # the symlink resolve relative to the LINK's directory
+                    # (dangling) instead of the repo cwd
+                    targets[name] = os.path.realpath(
+                        os.path.join(run_dir, name)
+                    )
         for name, target in targets.items():
             os.symlink(target, os.path.join(snap_dir, name))
         if not os.path.exists(meta_path):
