@@ -50,11 +50,12 @@ def nodes_from_obo_graph(obo_df: DataFrame, config=None) -> DataFrame:
 
 
 def _curie(col: Column, id_format: dict[str, str]) -> Column:
-    """URI tail + configured replacements → CURIE (go_parser.py:97-100)."""
-    out = F.element_at(F.split(col, "/"), -1)
-    for old, new in id_format.items():
-        out = F.replace(out, F.lit(old), F.lit(new))
-    return out
+    """URI tail + configured replacements → CURIE (go_parser.py:97-100).
+    Delegates to the exported ``curie_normalize`` so the parser's term_id
+    and the oracle-checked scalar function can never diverge."""
+    from ..functions.text import curie_normalize
+
+    return curie_normalize(col, dict(id_format))
 
 
 def _typed_synonyms(syns: Column, pred: str) -> Column:
