@@ -25,22 +25,12 @@ from pyspark.sql import functions as F
 # Mention dictionary over the synthetic `documents` vocabulary (bigrams that
 # occur in the corpus). (surface, term_id) — the inline analog of the parsed
 # ontology surface map (SURVEY §2 J6).
-DICT: list[tuple[str, str]] = [
-    ("table scan", "OP:0001"),
-    ("scan join", "OP:0001"),
-    ("hash join", "OP:0002"),
-    ("merge join", "OP:0002"),
-    ("sort merge", "OP:0002"),
-    ("window agg", "OP:0003"),
-    ("batch stream", "OP:0004"),
-    ("key order", "OP:0005"),
-    ("order sort", "OP:0005"),
-]
-
-# Surfaces flagged is_exact by the pipeline's surface map: each term's name
-# + exact_synonyms from _vocab_terms (DICT minus the broad synonym
-# "sort merge" → OP:0002). Keep in sync with _vocab_terms.
-EXACT_DICT: list[tuple[str, str]] = [(s, t) for s, t in DICT if s != "sort merge"]
+# DERIVED from VOCAB_ROWS below (names + all_synonyms) so the dictionary
+# can never drift from the vocab the pipeline actually parses; EXACT_DICT
+# is the is_exact slice of the pipeline's surface map (names +
+# exact_synonyms). Definitions follow VOCAB_ROWS.
+DICT: list[tuple[str, str]]
+EXACT_DICT: list[tuple[str, str]]
 
 # canonical stopword lists — imported, not duplicated, so the oracle SQL
 # can never drift from the Spark expressions
@@ -68,6 +58,17 @@ VOCAB_ROWS: list[tuple] = [
      [], [], [], [], [], ["XOP:STREAM"], "exec"),
     ("OP:0005", "key order", "Maintaining rows sorted by key for downstream merge operators.",
      ["order sort"], [], [], [], ["order sort"], ["XOP:SORT", "XOP:JOIN"], "exec"),
+]
+
+DICT = [
+    (surface, row[0])
+    for row in VOCAB_ROWS
+    for surface in (row[1], *row[7])  # name + all_synonyms
+]
+EXACT_DICT = [
+    (surface, row[0])
+    for row in VOCAB_ROWS
+    for surface in (row[1], *row[3])  # name + exact_synonyms
 ]
 
 
@@ -371,9 +372,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def a1_stage_counters(spark, sf_dir):
         e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # per-row cents quantization + integer sum: order-independent and
+        # engine-exact (round(sum(double)) depends on partial-agg order)
         return e.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_value_cents"),
             F.countDistinct("user_id").alias("n_users"),
         )
 
@@ -395,11 +400,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                F.round(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-                ).alias("sum_disc_price"),
+                # integer-quantized measures (x100): per-row quantize, then
+                # an order-independent integer sum — exact in every engine
+                F.sum(
+                    F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("sum_qty_x100"),
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                .cast("bigint")
+                .alias("sum_base_price_cents"),
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("sum_disc_price_cents"),
                 F.count(F.lit(1)).alias("count_order"),
             )
         )
@@ -412,12 +434,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
         spend = (
             orders.groupBy("o_custkey")
-            .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+            # exact cents: a rounded double total could tie-flip who makes
+            # the per-nation top-3 between engines
+            .agg(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                .cast("bigint")
+                .alias("total_spend_cents")
+            )
             .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
             .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         )
         w = Window.partitionBy("n_name").orderBy(
-            F.desc("total_spend"), F.asc("o_custkey")
+            F.desc("total_spend_cents"), F.asc("o_custkey")
         )
         return (
             spend.withColumn("rn", F.row_number().over(w))
@@ -425,7 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(
                 F.col("n_name").alias("nation_name"),
                 F.col("o_custkey").alias("cust_key"),
-                "total_spend",
+                "total_spend_cents",
                 F.col("rn").cast("bigint").alias("rn"),
             )
         )
@@ -436,7 +468,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # exact-integer numerator / exact count → one double division,
+            # identical in every engine (avg(double) is order-dependent)
+            (
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_value_cents"),
         )
 
     def a3_batch_count(spark, sf_dir):
@@ -872,8 +911,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from biocurator_mapper_spark.sources.catalog import ParquetCatalog
 
-        wh = os.path.join(tempfile.gettempdir(), "bcm_merge_query_wh")
-        shutil.rmtree(wh, ignore_errors=True)
+        # fresh dir per invocation: a fixed shared path raced concurrent
+        # evaluators (check_oracles + bench) and invalidated the lazy
+        # DataFrame a previous invocation returned
+        wh = tempfile.mkdtemp(prefix="bcm_merge_query_wh_")
         cat = ParquetCatalog(spark, wh)
         docs = _docs(spark, sf_dir)
         base = docs.select(
@@ -1135,7 +1176,7 @@ def _p1_sql() -> str:
             list_transform(range(coalesce(json_array_length(nd, '$.meta.synonyms'), 0)::BIGINT),
               k -> CASE WHEN json_extract_string(nd, '$.meta.synonyms[' || k || '].val') IS NOT NULL
                          AND json_extract_string(nd, '$.meta.synonyms[' || k || '].val') <> ''
-                         {cond.replace("AND json", "AND json")}
+                         {cond}
                     THEN json_extract_string(nd, '$.meta.synonyms[' || k || '].val') END),
             v -> v IS NOT NULL)"""
 
@@ -1566,7 +1607,7 @@ g AS (
          WHEN pr > 0.2 THEN 'too_much_punct'
          WHEN sr < 0.01 THEN 'no_stopwords'
          WHEN rr > 0.5 THEN 'too_repetitive'
-         WHEN lang NOT IN ('en') THEN 'wrong_language' END AS gate
+         WHEN coalesce(lang, 'und') NOT IN ('en') THEN 'wrong_language' END AS gate
   FROM t
 ),
 reps AS (SELECT fingerprint, min(doc_id) AS rep FROM g WHERE gate IS NULL GROUP BY 1)
@@ -1689,7 +1730,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
         """,
         "a1_stage_counters": """
-            SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+            SELECT event_type, count(*) AS n_events,
+                   sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_value_cents,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,
@@ -1714,7 +1756,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "p11_json_parse": """
-            SELECT event_id, CAST(props->>'k' AS INTEGER) AS k_value
+            SELECT event_id, TRY_CAST(props->>'k' AS INTEGER) AS k_value
             FROM events WHERE props->>'k' IS NOT NULL
         """,
         "skew_salted_host_stats": """
@@ -1726,9 +1768,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   sum(floor(l_quantity * 100 + 0.5)::BIGINT)::BIGINT AS sum_qty_x100,
+                   sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT AS sum_base_price_cents,
+                   sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)::BIGINT AS sum_disc_price_cents,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1736,14 +1778,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "join_top_customers_per_nation": """
             WITH spend AS (
-              SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+              SELECT o_custkey,
+                     sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS total_spend_cents
               FROM orders GROUP BY o_custkey
             )
-            SELECT n.n_name AS nation_name, s.o_custkey AS cust_key, s.total_spend, rn
+            SELECT n.n_name AS nation_name, s.o_custkey AS cust_key, s.total_spend_cents, rn
             FROM (
               SELECT s.*, c.c_nationkey,
                      row_number() OVER (
-                       PARTITION BY c.c_nationkey ORDER BY s.total_spend DESC, s.o_custkey ASC
+                       PARTITION BY c.c_nationkey ORDER BY s.total_spend_cents DESC, s.o_custkey ASC
                      ) AS rn
               FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
             ) s JOIN nation n ON s.c_nationkey = n.n_nationkey
@@ -1751,7 +1794,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_hourly_windows": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
-                   count(*) AS n_events, round(avg(value), 6) AS avg_value
+                   count(*) AS n_events,
+                   sum(floor(value * 100 + 0.5)::BIGINT)
+                     / count(*)::DOUBLE AS avg_value_cents
             FROM events GROUP BY 1, 2
         """,
         "curation_pipeline": _curation_sql(),

@@ -70,7 +70,10 @@ def hash_embed_py(text: str | None, dim: int = EMBED_DIM) -> list[float]:
 
 
 def embed_series(texts: pd.Series, dim: int = EMBED_DIM) -> pd.Series:
-    """Arrow-batch embedding: vectorized per batch, one numpy pass."""
+    """Arrow-batched embedding stub: one ``hash_embed_py`` call per row
+    (per-token numpy adds inside). The Arrow transfer is batched; the
+    hashing itself is row-at-a-time Python — a provider-backed
+    ``page_embed`` replaces this whole callable, batch-in/batch-out."""
     return texts.map(lambda t: hash_embed_py(t, dim))
 
 

@@ -18,7 +18,7 @@ def curie_normalize(col: Column, replacements: dict[str, str] | None = None) -> 
     then configured replacements (default ``_`` → ``:``)."""
     if replacements is None:
         replacements = {"_": ":"}
-    out = F.element_at(F.split(col, "/"), -1)
+    out = F.try_element_at(F.split(col, "/"), F.lit(-1))
     for old, new in replacements.items():
         out = F.replace(out, F.lit(old), F.lit(new))
     return out
@@ -113,12 +113,6 @@ LANG_STOPWORDS: list[tuple[str, list[str]]] = [
     ("pt", _STOP_PT),
     ("nl", _STOP_NL),
 ]
-
-
-def _stopword_hits(col: Column, words: list[str]) -> Column:
-    toks = F.split(F.lower(col), r"[^\p{L}0-9']+")
-    wl = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
 
 
 def quality_struct(text: Column) -> Column:
