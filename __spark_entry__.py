@@ -1886,7 +1886,7 @@ def oracle_sql() -> dict[str, str]:
         "lex_bm25_topk": _bm25_sql(["hash", "join", "stream"], 20),
         "sample_stratified": """
             SELECT doc_id, source FROM documents
-            WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+            WHERE ('0x' || substring(md5(coalesce(doc_id::VARCHAR, chr(0) || 'null')), 1, 4))::BIGINT
                   < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                                 WHEN 'src2' THEN 0.25 ELSE 0.1 END * 65536
         """,
@@ -1895,7 +1895,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source,
                      row_number() OVER (
                        PARTITION BY source
-                       ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT ASC,
+                       ORDER BY ('0x' || substring(md5(coalesce(doc_id::VARCHAR, chr(0) || 'null')), 1, 4))::BIGINT ASC,
                                 doc_id ASC
                      ) AS rn
               FROM documents

@@ -116,11 +116,19 @@ def connected_components(
             pairs_rows = e.limit(DRIVER_CC_MAX_EDGES + 1).collect()
         if strategy == "driver" or len(pairs_rows) <= DRIVER_CC_MAX_EDGES:
             comp = _driver_union_find([(r.src, r.dst) for r in pairs_rows])
-            if not comp:
-                return spark.createDataFrame([], "node string, component string")
-            return spark.createDataFrame(
-                list(comp.items()), "node string, component string"
+            # preserve the NODE ID TYPE: a hardcoded string schema made the
+            # driver path crash on bigint ids the distributed path accepts
+            # (size-dependent API behavior)
+            from pyspark.sql.types import StructField, StructType
+
+            node_type = edges.schema[src].dataType
+            out_schema = StructType(
+                [
+                    StructField("node", node_type),
+                    StructField("component", node_type),
+                ]
             )
+            return spark.createDataFrame(list(comp.items()), out_schema)
     all_nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -73,7 +73,11 @@ def adjacency(triples: DataFrame) -> DataFrame:
     """subj → sorted distinct objs + fan-out degree."""
     return triples.groupBy("subj").agg(
         F.array_sort(F.collect_set("obj")).alias("objs"),
-        F.size(F.collect_set("obj")).cast("bigint").alias("degree"),
+    ).withColumn(
+        # derive degree from the one collected set — a second
+        # collect_set("obj") would build a second distinct-set aggregation
+        # buffer per group (hub subjects pay twice)
+        "degree", F.size("objs").cast("bigint")
     )
 
 

@@ -92,8 +92,10 @@ def extract_media_features(
     decoder: str = "deterministic-fake",
 ) -> DataFrame:
     """(id, blob) → (id, feature: array<float>, feat_dim, content_sha) via
-    mapInPandas. The decode callable is resolved per-executor from the
-    registry — only its NAME is captured in the closure."""
+    mapInPandas. The decode callable is resolved DRIVER-side and travels in
+    the closure (executor workers re-import this module and would only see
+    the built-in registry entries, not dynamically registered decoders —
+    the same rule model_client applies to embedding providers)."""
     out_schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
@@ -103,8 +105,9 @@ def extract_media_features(
         ]
     )
 
+    decode = MEDIA_DECODERS[decoder]  # resolve driver-side (see docstring)
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = MEDIA_DECODERS[decoder]
         for pdf in batches:
             feats, dims, shas = [], [], []
             for blob in pdf[blob_col]:
@@ -112,7 +115,12 @@ def extract_media_features(
                 vec = decode(b)
                 feats.append([float(x) for x in vec])
                 dims.append(len(vec))
-                shas.append(hashlib.sha256(b or b"").hexdigest())
+                # NULL media gets a NULL sha: hashing it like b'' would
+                # content-address a missing blob identically to a real
+                # empty one while their features differ
+                shas.append(
+                    hashlib.sha256(b).hexdigest() if b is not None else None
+                )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -146,8 +154,9 @@ def frame_sample(
         ]
     )
 
+    decode = MEDIA_DECODERS[decoder]  # resolve driver-side
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = MEDIA_DECODERS[decoder]
         for pdf in batches:
             ids, frames, feats = [], [], []
             for i, blob in zip(pdf[id_col], pdf[blob_col]):

@@ -20,8 +20,18 @@ HASH_SPACE = 1 << 16  # first 4 md5 hex chars
 
 
 def _id_hash(id_col: str):
+    # NULL ids hash like a sentinel string instead of hashing to NULL —
+    # md5(NULL) is NULL and a NULL threshold predicate silently DROPS the
+    # row even from a fraction-1.0 stratum; the sentinel also makes the
+    # per-stratum cap ordering deterministic for NULL-id rows
     return F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        F.substring(
+            F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))),
+            1,
+            4,
+        ),
+        16,
+        10,
     ).cast("long")
 
 

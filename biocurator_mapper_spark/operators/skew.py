@@ -53,7 +53,7 @@ def salted_agg(
     )
     phase1 = salted.groupBy(*key_cols, "_salt").agg(
         *[
-            getattr(F, fn if fn != "count" else "count")(F.col(src)).alias(f"_p_{out}")
+            getattr(F, fn)(F.col(src)).alias(f"_p_{out}")
             for out, (src, fn) in aggs.items()
         ]
     )
@@ -84,9 +84,6 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     big_salted = big.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast(
-            "int"
-        ),
+        "_salt", deterministic_salt([F.col(c) for c in big.columns], n_salts)
     )
     return big_salted.join(small_rep, [key, "_salt"], how).drop("_salt")

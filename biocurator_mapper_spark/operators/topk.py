@@ -84,13 +84,18 @@ def broadcast_topk(
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qn[qn == 0] = 1.0
             sims = (q / qn) @ t  # (B, T)
-            # argpartition for top-k, then exact sort within the k slice;
-            # ids are pre-sorted so equal scores break ties by id ascending.
+            # argpartition finds the k-boundary score; ALL candidates tied
+            # at that boundary are then included before the exact
+            # (-score, id) sort — argpartition alone keeps an arbitrary one
+            # of the tied boundary candidates, diverging from the window
+            # formulation's id-ascending tie-break. ids are pre-sorted so
+            # matrix index order == id order.
             part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             rows = []
             for bi in range(sims.shape[0]):
-                cand = part[bi]
-                cand = cand[np.lexsort((cand, -sims[bi, cand]))]
+                thresh = sims[bi, part[bi]].min()
+                cand = np.nonzero(sims[bi] >= thresh)[0]
+                cand = cand[np.lexsort((cand, -sims[bi, cand]))][:kk]
                 qid = pdf[query_id_col].iat[bi]
                 for rank, ci in enumerate(cand, 1):
                     s = float(sims[bi, ci])
@@ -99,7 +104,13 @@ def broadcast_topk(
                 rows, columns=[query_id_col, id_out_col, "rank", "cosine", "certainty"]
             )
 
-    return queries.select(query_id_col, vec_col).mapInPandas(_score, out_schema)
+    # NULL query embeddings produce no matches (np.stack would otherwise
+    # crash the task on a 0-d object array)
+    return (
+        queries.select(query_id_col, vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .mapInPandas(_score, out_schema)
+    )
 
 
 def brute_force_topk_join(
@@ -141,7 +152,9 @@ def collect_corpus_matrix(
     """Materialize a broadcast-sized corpus (ontology dimension table) into
     (ids, matrix). The ONE permitted collect in the engine — the dimension
     side is bounded (~120 MB at full DO scale), never the web corpus."""
-    rows = corpus.select(id_col, vec_col).collect()
+    rows = [
+        r for r in corpus.select(id_col, vec_col).collect() if r[1] is not None
+    ]
     ids = [r[0] for r in rows]
     mat = (
         np.array([r[1] for r in rows], dtype=np.float32)

@@ -39,7 +39,9 @@ def pushed_filters(df: DataFrame) -> list[str]:
     out = []
     for line in _plan_string(df).splitlines():
         m = re.search(r"PushedFilters: \[([^\]]*)\]", line)
-        if m:
+        if m and m.group(1):
+            # "PushedFilters: []" (no pushdown) must NOT count — a truthy
+            # empty entry made the pushdown assertions impossible to fail
             out.append(m.group(1))
     return out
 

@@ -336,3 +336,24 @@ def test_chunk_documents_windows_and_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_broadcast_topk_boundary_ties_break_by_id(spark):
+    """Candidates tied in score exactly at the k/k+1 boundary must resolve
+    by id ascending (the window formulation's tie-break) — argpartition
+    alone keeps an arbitrary one of the tied candidates."""
+    dim = 4
+    base = [1.0, 0.0, 0.0, 0.0]
+    # five identical vectors (all tied at cosine 1.0) + one weaker
+    corpus = [(f"c{i}", base) for i in range(5)] + [("z_weak", [0.0, 1.0, 0.0, 0.0])]
+    qdf = spark.createDataFrame([("q1", base)], "url string, embedding array<float>")
+    cids = [c[0] for c in corpus]
+    cmat = np.array([c[1] for c in corpus], dtype=np.float32)
+    got = {r.rank: r.term_id for r in broadcast_topk(qdf, cids, cmat, k=3).collect()}
+    assert got == {1: "c0", 2: "c1", 3: "c2"}  # id-ascending among the tied five
+
+    # NULL query embedding: no rows, no crash
+    qnull = spark.createDataFrame(
+        [("q2", None)], "url string, embedding array<float>"
+    )
+    assert broadcast_topk(qnull, cids, cmat, k=3).count() == 0
