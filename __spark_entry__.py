@@ -44,6 +44,61 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# Plan memo for the correctness pass: several contract queries share one
+# expensive LOGICAL PLAN (the kg pipeline's fused scan + rerank aggregate
+# costs seconds of py4j/Catalyst work to CONSTRUCT, before any data moves).
+# Sharing the DataFrame object dedups that compile cost — results are
+# unchanged (plans are deterministic and nothing is persisted, so every
+# action still recomputes honestly). bench.py sets SPARK_GRAFT_QUERY_MEMO=0
+# so its min-of-2 estimator times full fresh-plan passes.
+_MEMO: dict = {}
+
+
+def _memo_df(spark: SparkSession, key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
+    import os
+
+    if os.environ.get("SPARK_GRAFT_QUERY_MEMO", "1") == "0":
+        return build()
+    k = (id(spark), key)
+    ent = _MEMO.get(k)
+    if ent is None or ent[0] is not spark:  # new session reusing an id
+        _MEMO[k] = ent = (spark, build())  # spark ref pins id uniqueness
+    return ent[1]
+
+
+def _triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline's full output relation, one plan per session ×
+    sf_dir (kg_triples / kg_exact_winner / kg_exact_degree all start here)."""
+    from biocurator_mapper_spark.pipeline import build_triples
+
+    return _memo_df(
+        spark,
+        ("kg_triples_full", sf_dir),
+        lambda: build_triples(_docs_as_pages(spark, sf_dir), _vocab_terms(spark)),
+    )
+
+
+def _one_exact_subjs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subjects of pages carrying exactly one exact-surface term — the
+    SQL-derivable decision slice shared by kg_exact_winner/kg_exact_degree."""
+
+    def _build() -> DataFrame:
+        d = _docs(spark, sf_dir)
+        ex = spark.createDataFrame(EXACT_DICT, "surface string, term_id string")
+        return (
+            d.join(
+                F.broadcast(ex),
+                F.lower(F.col("text")).contains(F.col("surface")),
+            )
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term_id").alias("_n"))
+            .where(F.col("_n") == 1)
+            .select(F.concat(F.lit("doc://"), F.col("doc_id")).alias("subj"))
+        )
+
+    return _memo_df(spark, ("one_exact_subjs", sf_dir), _build)
+
+
 # (term_id, name, definition, exact_syn, narrow, broad, related, all_syn,
 #  xrefs, namespace) — shared by _vocab_terms AND the independent Python
 # re-derivation behind the kg_triples oracle.
@@ -180,7 +235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from biocurator_mapper_spark.operators.mentions import mention_candidates
     from biocurator_mapper_spark.operators.similarity import lsh_topk
     from biocurator_mapper_spark.operators.topk import brute_force_topk_join
-    from biocurator_mapper_spark.pipeline import build_triples
 
     def p1_parse_terms(spark, sf_dir):
         # the central parse stage (P1-P7, F1, U1-U3) on the full fixture
@@ -517,15 +571,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_salts=8,
         )
 
-    def curation_pipeline(spark, sf_dir):
+    def _curated(spark, sf_dir):
+        # shared logical plan: curate()'s fused signal tree is expensive to
+        # CONSTRUCT; both curation queries start from the same relation
         from biocurator_mapper_spark.pipeline.curation import curate
 
-        return curate(_docs(spark, sf_dir))
+        return _memo_df(
+            spark, ("curated", sf_dir), lambda: curate(_docs(spark, sf_dir))
+        )
+
+    def curation_pipeline(spark, sf_dir):
+        return _curated(spark, sf_dir)
 
     def curation_funnel_report(spark, sf_dir):
-        from biocurator_mapper_spark.pipeline.curation import curate, curation_funnel
+        from biocurator_mapper_spark.pipeline.curation import curation_funnel
 
-        return curation_funnel(curate(_docs(spark, sf_dir)))
+        return curation_funnel(_curated(spark, sf_dir))
 
     def dedup_exact(spark, sf_dir):
         return exact_dedup(_docs(spark, sf_dir), "doc_id", ["text"]).select(
@@ -798,8 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The embedding certainties aren't SQL-expressible, so the oracle
         # inlines rows re-derived by the independent plain-Python
         # implementation (testdata/kg_oracle.py, see _kg_triples_sql)
-        pages = _docs_as_pages(spark, sf_dir)
-        return build_triples(pages, _vocab_terms(spark)).select(
+        return _triples_full(spark, sf_dir).select(
             "subj", "pred", "obj", "mention", "confidence"
         )
 
@@ -810,21 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of embeddings, so subj/pred/obj/mention are SQL-derivable from
         # documents × the inline dict + the canonical mapping. The slice is
         # computed by the REAL pipeline (build_triples) and only filtered.
-        pages = _docs_as_pages(spark, sf_dir)
-        triples = build_triples(pages, _vocab_terms(spark))
-        d = _docs(spark, sf_dir)
-        ex = spark.createDataFrame(EXACT_DICT, "surface string, term_id string")
-        one_exact = (
-            d.join(
-                F.broadcast(ex),
-                F.lower(F.col("text")).contains(F.col("surface")),
-            )
-            .groupBy("doc_id")
-            .agg(F.countDistinct("term_id").alias("_n"))
-            .where(F.col("_n") == 1)
-            .select(F.concat(F.lit("doc://"), F.col("doc_id")).alias("subj"))
-        )
-        return triples.join(one_exact, "subj").select(
+        triples = _triples_full(spark, sf_dir)
+        return triples.join(_one_exact_subjs(spark, sf_dir), "subj").select(
             "subj", "pred", "obj", "mention"
         )
 
@@ -845,21 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_exact_winner, aggregated)
         from biocurator_mapper_spark.operators.graph import degree_stats
 
-        pages = _docs_as_pages(spark, sf_dir)
-        triples = build_triples(pages, _vocab_terms(spark))
-        d = _docs(spark, sf_dir)
-        ex = spark.createDataFrame(EXACT_DICT, "surface string, term_id string")
-        one_exact = (
-            d.join(
-                F.broadcast(ex),
-                F.lower(F.col("text")).contains(F.col("surface")),
-            )
-            .groupBy("doc_id")
-            .agg(F.countDistinct("term_id").alias("_n"))
-            .where(F.col("_n") == 1)
-            .select(F.concat(F.lit("doc://"), F.col("doc_id")).alias("subj"))
-        )
-        return degree_stats(triples.join(one_exact, "subj"))
+        triples = _triples_full(spark, sf_dir)
+        return degree_stats(triples.join(_one_exact_subjs(spark, sf_dir), "subj"))
 
     def j7_canonical_mapping(spark, sf_dir):
         # alias-graph canonicalization over the vocab ontology — the DuckDB
@@ -1041,18 +1075,45 @@ s AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
 """
 
 
+# 60-bit integer shingle hash — DuckDB replica of
+# operators/dedup.py::shingle_hash_expr (Spark: conv(substr(md5, 1, 15),
+# 16, 10)::long). Integer keys make every oracle join/intersect exact AND
+# cheap in both engines.
+_H_SQL = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
+def _hashed_shingle_cte(n: int = 3) -> str:
+    """Shared DuckDB CTEs for the hash-keyed dedup family: ``hs(doc_id,
+    hset)`` — the per-doc 60-bit shingle-hash set — and ``s(doc_id, h)``
+    exploded rows."""
+    return f"""
+{_shingle_cte(n)},
+hs AS (
+  SELECT doc_id,
+         list_transform(shingles, x -> {_H_SQL.format(s='x')}) AS hset
+  FROM sh WHERE len(shingles) > 0
+),
+hrows AS (SELECT doc_id, unnest(hset) AS h FROM hs)
+"""
+
+
 def _minhash_pairs_ctes(
     num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
 ) -> str:
     """CTE body ending in ``mh_pairs(id_a, id_b, jaccard)`` — shared by the
-    minhash-LSH pair oracle and the (LSH-pair-based) cluster oracle."""
+    minhash-LSH pair oracle and the (LSH-pair-based) cluster oracle.
+    Mirrors operators/dedup.py::_banded_signatures: one 60-bit hash per
+    shingle, 16 integer universal-hash permutation minima, base-10 concat
+    band keys, exact Jaccard over the hash sets."""
+    from biocurator_mapper_spark.operators.dedup import _MINHASH_AB, MINHASH_MOD
+
     rpb = num_hashes // bands
     mh_cols = ",\n         ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS mh_{i}"
-        for i in range(num_hashes)
+        f"min(({a} * (h % {MINHASH_MOD}) + {b}) % {MINHASH_MOD}) AS mh_{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB[:num_hashes])
     )
     band_cols = ",\n         ".join(
-        "md5(" + " || '|' || ".join(f"mh_{b * rpb + r}" for r in range(rpb)) + f") AS band_{b}"
+        "concat_ws('|', " + ", ".join(f"mh_{b * rpb + r}" for r in range(rpb)) + f") AS band_{b}"
         for b in range(bands)
     )
     band_union = "\n  UNION ALL\n".join(
@@ -1060,11 +1121,11 @@ def _minhash_pairs_ctes(
         for b in range(bands)
     )
     return f"""
-{_shingle_cte(3)},
+{_hashed_shingle_cte(3)},
 sig AS (
   SELECT doc_id,
          {mh_cols}
-  FROM sh WHERE len(shingles) > 0
+  FROM hrows GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id,
@@ -1081,12 +1142,12 @@ cand AS (
 ),
 verified AS (
   SELECT c.id_a, c.id_b,
-         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-           / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+         len(list_intersect(sa.hset, sb.hset))::DOUBLE
+           / (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset)))
            AS jaccard
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.id_a
-  JOIN sh sb ON sb.doc_id = c.id_b
+  JOIN hs sa ON sa.doc_id = c.id_a
+  JOIN hs sb ON sb.doc_id = c.id_b
 ),
 mh_pairs AS (SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold})
 """
@@ -1122,12 +1183,12 @@ def _cross_minhash_ctes(
 ),
 cross_verified AS (
   SELECT c.corpus_id, c.benchmark_id,
-         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-           / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+         len(list_intersect(sa.hset, sb.hset))::DOUBLE
+           / (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset)))
            AS jaccard
   FROM cross_cand c
-  JOIN sh sa ON sa.doc_id = c.corpus_id
-  JOIN sh sb ON sb.doc_id = c.benchmark_id
+  JOIN hs sa ON sa.doc_id = c.corpus_id
+  JOIN hs sb ON sb.doc_id = c.benchmark_id
 ),
 cross_pairs AS (
   SELECT corpus_id, benchmark_id, jaccard
@@ -1815,14 +1876,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": f"""
             -- mirrors the default max_shingle_df=256 hub-shingle cap:
-            -- Jaccard is exact over the RETAINED shingle sets
-            WITH {_shingle_cte(3)},
-            hot AS (SELECT shingle FROM s GROUP BY shingle HAVING count(*) > 256),
-            s2 AS (SELECT s.doc_id, s.shingle FROM s ANTI JOIN hot USING (shingle)),
+            -- Jaccard is exact over the RETAINED shingle sets (keyed on the
+            -- 60-bit integer shingle hash, like the Spark plan)
+            WITH {_hashed_shingle_cte(3)},
+            hot AS (SELECT h FROM hrows GROUP BY h HAVING count(*) > 256),
+            s2 AS (SELECT hrows.doc_id, hrows.h FROM hrows ANTI JOIN hot USING (h)),
             sizes AS (SELECT doc_id, count(*) AS sz FROM s2 GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-              FROM s2 a JOIN s2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM s2 a JOIN s2 b ON a.h = b.h AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT i.id_a, i.id_b,

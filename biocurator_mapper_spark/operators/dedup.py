@@ -7,9 +7,10 @@ Five families, each designed scale-first:
 - n-gram Jaccard: shingle explode + self-join on shingle, with a document-
   frequency cap on shingles (stop-shingle removal) so hub shingles never
   explode the join;
-- MinHash + LSH: per-seed min over md5'd shingles (min of hex strings —
-  engine-agnostic, SQL-oracle-checkable), banded into buckets, candidate
-  pairs only within buckets (the 100 TB path: no all-pairs anywhere);
+- MinHash + LSH: universal-hash permutations over ONE 60-bit md5-derived
+  integer hash per shingle (integer arithmetic — engine-agnostic,
+  SQL-oracle-checkable), banded into buckets, candidate pairs only within
+  buckets (the 100 TB path: no all-pairs anywhere);
 - SimHash: 48-bit sign-sum sketch, built entirely with higher-order
   functions (JVM codegen, no Python).
 
@@ -56,6 +57,67 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
         )
 
     return let_expr(tokens_expr(text), _build)
+
+
+# ------------------------------------------------------------- shingle hash
+
+# 60-bit integer shingle hash: conv(first 15 hex chars of md5, 16, 10).
+# Engine-agnostic — DuckDB computes the identical value with
+# ('0x' || substr(md5(s), 1, 15))::BIGINT — and turns every downstream
+# shuffle/join/intersect key from a ~30-byte string into one long.
+MINHASH_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+# Fixed (a, b) universal-hash constants for the MinHash permutations
+# h_i = (a_i * (h % MOD) + b_i) % MOD: ONE md5 per shingle feeds all 16
+# signatures (the previous per-seed md5 scheme paid 16 md5s per shingle).
+# a_i * h stays under 2^62, so 64-bit signed arithmetic is exact in both
+# Spark and DuckDB. Generated once with random.Random(20260817).
+_MINHASH_AB: list[tuple[int, int]] = [
+    (2054730081, 1668083862),
+    (1381560984, 71539990),
+    (729512858, 133347923),
+    (1473050824, 100270761),
+    (1099550647, 283212492),
+    (1181694378, 419802908),
+    (1494373298, 318663385),
+    (1945259633, 1367314271),
+    (1382880978, 1593008560),
+    (293948171, 2141913301),
+    (1866669699, 352195579),
+    (315686227, 1118610135),
+    (1934400445, 1216675730),
+    (963302574, 1005947103),
+    (166792497, 2019800082),
+    (1378874568, 613864793),
+]
+
+
+def shingle_hash_expr(shingle: Column) -> Column:
+    """60-bit integer hash of a shingle string (see MINHASH_MOD note)."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+
+
+def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(_id, h) rows — one 60-bit hash per distinct shingle per doc.
+
+    explode_OUTER + isNotNull on the GENERATED attribute: plain explode
+    triggers InferFiltersFromGenerate, whose size() > 0 filter re-evaluates
+    the whole shingle HOF chain per row (alias substitution pushes it below
+    the projection). Shingle-less docs become one null row, dropped here.
+    An under-partitioned source (one small parquet split) would evaluate
+    the shingle HOFs single-threaded — one round-robin shuffle of the
+    exploded rows buys full parallelism, and its materialized map side is
+    stage-skipped for every later consumer of the same subtree.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(shingles_expr(F.col(text_col), n)).alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
+    spark = df.sparkSession
+    default_p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(default_p // 2, 1):
+        exploded = exploded.repartition(default_p)
+    return exploded.select("_id", shingle_hash_expr(F.col("shingle")).alias("h"))
 
 
 # ------------------------------------------------------------------- exact
@@ -108,31 +170,20 @@ def ngram_jaccard_pairs(
     map-side partial combine. Prefer ``minhash_lsh_pairs`` when the corpus
     is large enough that even capped exact intersection counting is wide.
     """
-    # explode_OUTER + cheap null filter: plain explode over the shingle
-    # HOF chain triggers InferFiltersFromGenerate, whose size()>0 filter
-    # re-evaluates the whole chain per row (the filter is pushed below the
-    # project by alias substitution). Outer explode + isNotNull on the
-    # GENERATED attribute evaluates the chain exactly once.
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode_outer(shingles_expr(F.col(text_col), n)).alias("shingle"),
-    ).where(F.col("shingle").isNotNull())
-    # Two birds with one round-robin shuffle of the shingle rows: (1) an
-    # under-partitioned source (one parquet split) would evaluate the
-    # shingle HOFs single-threaded; (2) this plan consumes `sh` from four
-    # subtrees (a/b/sizes/hot) — the exchange's map side materializes once
-    # and the scheduler SKIPS it for every later consumer (verified: the
-    # map stage shows completed once, then numCompletedTasks=0 skips), so
-    # the shingle expressions run ONCE instead of per consumer.
-    spark = df.sparkSession
-    default_p = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(default_p // 2, 1):
-        sh = sh.repartition(default_p)
+    # Hashed shingle rows (_id, h): the 60-bit integer hash replaces the
+    # shingle string in every downstream shuffle/join — the self-join key,
+    # the hot-shingle aggregate and the intersection count all run over
+    # longs. This plan consumes `sh` from four subtrees (a/b/sizes/hot) —
+    # the round-robin exchange inside _hashed_shingle_rows materializes
+    # once and the scheduler SKIPS its map side for every later consumer
+    # (verified: the map stage completes once, then numCompletedTasks=0),
+    # so the shingle HOF expressions run ONCE instead of per consumer.
+    sh = _hashed_shingle_rows(df, id_col, text_col, n)
     if max_shingle_df is not None:
-        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")).where(
+        hot = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_df")).where(
             F.col("_df") > max_shingle_df
         )
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+        sh = sh.join(F.broadcast(hot.select("h")), "h", "left_anti")
     # sizes AFTER the cap: Jaccard is then exact over the retained shingle
     # sets (pre-cap sizes would deflate scores and let identical docs with
     # many hub shingles escape the threshold)
@@ -140,7 +191,7 @@ def ngram_jaccard_pairs(
     a = sh.withColumnRenamed("_id", "id_a")
     b = sh.withColumnRenamed("_id", "id_b")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
@@ -163,20 +214,38 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature_cols(text: Column, n: int = 3, num_hashes: int = 16) -> list[Column]:
-    """num_hashes MinHash values: per seed, the MIN over shingles of
-    md5(seed ∥ shingle) hex (string min — identical semantics in any engine).
-    Null when the document has no shingles."""
-    sh = shingles_expr(text, n)
+    """num_hashes MinHash values: per permutation i, the MIN over shingles
+    of (a_i * (h % MOD) + b_i) % MOD where h is the 60-bit md5-derived
+    shingle hash — ONE md5 per shingle feeds every signature (identical
+    integer semantics in any engine). Null when the document has no
+    shingles."""
+    from ..functions.exprs import let_expr
 
-    def _mh(i: int) -> Column:
-        # helper, NOT a `lambda s, i=i:` default — a two-arg transform
-        # lambda receives (element, INDEX) and would silently bind the
-        # index Column as the seed (see CLAUDE.md)
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
-        ).alias(f"mh_{i}")
+    def _build(hm: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(hm, _perm_fn(a, b))
+                ).alias(f"mh_{i}")
+                for i, (a, b) in enumerate(_MINHASH_AB[:num_hashes])
+            ]
+        )
 
-    return [_mh(i) for i in range(num_hashes)]
+    hashed = F.transform(
+        shingles_expr(text, n), lambda s: shingle_hash_expr(s) % MINHASH_MOD
+    )
+    arr = let_expr(hashed, _build)
+    return [arr[i].alias(f"mh_{i}") for i in range(num_hashes)]
+
+
+def _perm_fn(a: int, b: int):
+    # helper, NOT a `lambda h, a=a, b=b:` default — a two-arg transform
+    # lambda receives (element, INDEX) and would silently bind the index
+    # Column (see CLAUDE.md)
+    def f(h: Column) -> Column:
+        return (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_MOD)
+
+    return f
 
 
 def minhash_lsh_pairs(
@@ -192,12 +261,13 @@ def minhash_lsh_pairs(
 
     Scale path — the classic explode → hash-aggregate formulation:
 
-    1. explode distinct shingles to (id, shingle) rows — each shingle is
-       md5'd exactly ONCE per seed inside one hash aggregate with map-side
-       partial mins (array-expression formulations re-evaluate the whole
-       shingle tree per signature column; at 5k docs that was already 20×
-       slower, and it only gets worse with size);
-    2. band the 16 mins into ``bands`` md5 keys, explode to (id, band) rows;
+    1. explode distinct shingles to (id, h) rows — ONE md5 per shingle,
+       reduced to a 60-bit integer; all 16 signature minima are integer
+       universal-hash permutations of it inside one hash aggregate with
+       map-side partial mins (array-expression formulations re-evaluate the
+       whole shingle tree per signature column; at 5k docs that was already
+       20× slower, and it only gets worse with size);
+    2. band the 16 mins into ``bands`` concat keys, explode to (id, band) rows;
     3. bucket self-join on (band_no, band_val) — only full-band agreement
        pairs up, no all-pairs product;
     4. exact Jaccard verification joins the candidate ids back to their
@@ -244,33 +314,27 @@ def _banded_signatures(
     """(banded(_id, band_no, band_val), sets(_id, _sh)) for one corpus —
     the shared explode→hash-agg signature path of the LSH family."""
     rows_per_band = num_hashes // bands
-    # explode_outer + isNotNull on the generated attribute: evaluates the
-    # shingle HOF chain ONCE per row (a size()>0 pre-filter or an inferred
-    # generate filter would re-evaluate it — alias substitution pushes
-    # such filters below the projection). Shingle-less docs become one
-    # null row and are dropped right here.
-    exploded = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode_outer(shingles_expr(F.col(text_col), n)).alias("shingle"),
-        )
-        .where(F.col("shingle").isNotNull())
-    )
-    spark = df.sparkSession
-    default_p = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(default_p // 2, 1):
-        exploded = exploded.repartition(default_p)
-    sigs = exploded.groupBy("_id").agg(
+    # (_id, h) hashed shingle rows — ONE md5 per shingle; the 16 signature
+    # minima and the exact-verify sets are both integer aggregates over
+    # these rows (the previous per-seed-md5 scheme paid 16 md5s/shingle
+    # and shuffled shingle STRINGS; this shuffles one long per row). The
+    # two groupBy(_id) aggregates hash-partition the same child subtree, so
+    # the second is a ReusedExchange / skipped map stage.
+    exploded = _hashed_shingle_rows(df, id_col, text_col, n)
+    hm = (F.col("h") % MINHASH_MOD).alias("hm")
+    sigs = exploded.select("_id", hm).groupBy("_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
-            for i in range(num_hashes)
+            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(
+                f"mh_{i}"
+            )
+            for i, (a, b) in enumerate(_MINHASH_AB[:num_hashes])
         ]
     )
+    # band key: plain base-10 concat of the band's minima (both engines
+    # render integers identically; no md5 compression needed)
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
+        F.concat_ws(
+            "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
@@ -285,7 +349,9 @@ def _banded_signatures(
             )
         ).alias("band"),
     ).select("_id", F.col("band.band_no"), F.col("band.band_val"))
-    sets = exploded.groupBy("_id").agg(F.collect_list("shingle").alias("_sh"))
+    # exact-verify sets carry the full 60-bit hashes (31-bit minima would
+    # start colliding at web-scale set sizes)
+    sets = exploded.groupBy("_id").agg(F.collect_list("h").alias("_sh"))
     return banded, sets
 
 

@@ -188,6 +188,96 @@ def _fused_page_scan(
     return src.mapInPandas(_scan, out_schema)
 
 
+# Stage-B rerank expression ASTs, cached per (py4j gateway, k): the nested
+# HOF/struct tree costs hundreds of py4j round trips (~1s per fresh plan
+# build) yet is a pure function of `k` and the unresolved `_cl` column —
+# the same prepared tree slots into every plan the process builds. Keyed by
+# the gateway id so a restarted JVM can never see stale Java objects.
+_RERANK_CACHE: dict = {}
+
+
+def _rerank_exprs(k: int):
+    """(ranked, winner) Column expressions over the ``_cl`` candidate array.
+
+    - per-term collapse (W5 collapse of duplicate surfaces): distinct term
+      ids, each with max certainty, any-exact flag, and its most specific
+      (longest) surface as the reported mention;
+    - top-k by certainty (W1, the reference's ``near_vector(limit=k)``);
+    - rerank by stub score = exactness bonus + certainty (M5 stub).
+    """
+    from pyspark import SparkContext
+
+    key = (id(SparkContext._gateway), k)
+    cached = _RERANK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    cl = F.col("_cl")
+    term_ids = F.array_distinct(F.transform(cl, lambda x: x["term_id"]))
+    per_term = F.transform(
+        term_ids,
+        lambda t: F.struct(
+            t.alias("term_id"),
+            F.array_max(
+                F.transform(
+                    F.filter(cl, lambda x: x["term_id"] == t), lambda x: x["certainty"]
+                )
+            ).alias("certainty"),
+            F.exists(
+                cl, lambda x: (x["term_id"] == t) & x["is_exact"]
+            ).alias("exact_hit"),
+            F.try_element_at(
+                F.array_sort(
+                    F.transform(
+                        F.filter(cl, lambda x: x["term_id"] == t),
+                        lambda x: F.struct(
+                            (-F.length(x["mention"])).alias("l"),
+                            x["mention"].alias("m"),
+                        ),
+                    )
+                ),
+                F.lit(1),
+            )["m"].alias("mention"),
+        ),
+    )
+    topk = F.slice(
+        F.array_sort(
+            F.transform(
+                per_term,
+                lambda c: F.struct(
+                    (-c["certainty"]).alias("_negcert"),
+                    c["term_id"].alias("term_id"),
+                    c["certainty"].alias("certainty"),
+                    c["exact_hit"].alias("exact_hit"),
+                    c["mention"].alias("mention"),
+                ),
+            )
+        ),
+        1,
+        k,
+    )
+    ranked = F.array_sort(
+        F.transform(
+            topk,
+            lambda c: F.struct(
+                (
+                    -(
+                        F.when(c["exact_hit"], F.lit(1.0)).otherwise(F.lit(0.0))
+                        + c["certainty"]
+                    )
+                ).alias("_negscore"),
+                (-c["certainty"]).alias("_negcert"),
+                c["term_id"].alias("term_id"),
+                c["certainty"].alias("certainty"),
+                c["exact_hit"].alias("exact_hit"),
+                c["mention"].alias("mention"),
+            ),
+        )
+    )
+    winner = F.try_element_at(ranked, F.lit(1))
+    _RERANK_CACHE[key] = (ranked, winner)
+    return ranked, winner
+
+
 def build_triples(
     pages: DataFrame,
     terms: DataFrame,
@@ -293,74 +383,7 @@ def build_triples(
         F.first("lang").alias("lang"),
     )
 
-    cl = F.col("_cl")
-    # per-term collapse (W5 collapse of duplicate surfaces): distinct term
-    # ids, each with max certainty, any-exact flag, and its most specific
-    # (longest) surface as the reported mention
-    term_ids = F.array_distinct(F.transform(cl, lambda x: x["term_id"]))
-    per_term = F.transform(
-        term_ids,
-        lambda t: F.struct(
-            t.alias("term_id"),
-            F.array_max(
-                F.transform(
-                    F.filter(cl, lambda x: x["term_id"] == t), lambda x: x["certainty"]
-                )
-            ).alias("certainty"),
-            F.exists(
-                cl, lambda x: (x["term_id"] == t) & x["is_exact"]
-            ).alias("exact_hit"),
-            F.try_element_at(
-                F.array_sort(
-                    F.transform(
-                        F.filter(cl, lambda x: x["term_id"] == t),
-                        lambda x: F.struct(
-                            (-F.length(x["mention"])).alias("l"),
-                            x["mention"].alias("m"),
-                        ),
-                    )
-                ),
-                F.lit(1),
-            )["m"].alias("mention"),
-        ),
-    )
-    # top-k by certainty (W1, the reference's near_vector(limit=k)), then
-    # rerank by stub score = exactness bonus + certainty (M5 stub)
-    topk = F.slice(
-        F.array_sort(
-            F.transform(
-                per_term,
-                lambda c: F.struct(
-                    (-c["certainty"]).alias("_negcert"),
-                    c["term_id"].alias("term_id"),
-                    c["certainty"].alias("certainty"),
-                    c["exact_hit"].alias("exact_hit"),
-                    c["mention"].alias("mention"),
-                ),
-            )
-        ),
-        1,
-        k,
-    )
-    ranked = F.array_sort(
-        F.transform(
-            topk,
-            lambda c: F.struct(
-                (
-                    -(
-                        F.when(c["exact_hit"], F.lit(1.0)).otherwise(F.lit(0.0))
-                        + c["certainty"]
-                    )
-                ).alias("_negscore"),
-                (-c["certainty"]).alias("_negcert"),
-                c["term_id"].alias("term_id"),
-                c["certainty"].alias("certainty"),
-                c["exact_hit"].alias("exact_hit"),
-                c["mention"].alias("mention"),
-            ),
-        )
-    )
-    winner = F.try_element_at(ranked, F.lit(1))
+    ranked, winner = _rerank_exprs(k)
     best = (
         g.withColumn("_ranked", ranked)
         .withColumn("_w", winner)
