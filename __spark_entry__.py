@@ -627,6 +627,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5,
         )
 
+    def dedup_decontaminate_exact(spark, sf_dir):
+        # GPT-3/PaLM-style exact 13-gram collision rule: a corpus doc is
+        # contaminated if ANY word 13-gram also occurs in a benchmark doc
+        from biocurator_mapper_spark.operators.dedup import decontaminate_exact
+
+        d = _docs(spark, sf_dir)
+        return decontaminate_exact(
+            d.where(F.col("doc_id") % 20 != 0).select("doc_id", "source", "text"),
+            d.where(F.col("doc_id") % 20 == 0),
+            "doc_id", "text", n=13,
+        ).select("doc_id", "source")
+
     def dedup_decontaminate(spark, sf_dir):
         from biocurator_mapper_spark.operators.dedup import decontaminate
 
@@ -939,7 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row-level MERGE (Iceberg MERGE INTO semantics, bucket-granular
         # copy-on-write): base = documents, delta updates every 7th doc;
         # the merged table must equal anti-join(base, delta) ∪ delta
-        import os
+        import atexit
         import shutil
         import tempfile
 
@@ -947,8 +959,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # fresh dir per invocation: a fixed shared path raced concurrent
         # evaluators (check_oracles + bench) and invalidated the lazy
-        # DataFrame a previous invocation returned
+        # DataFrame a previous invocation returned. Cleanup must wait for
+        # process exit — the returned DataFrame reads the dir lazily.
         wh = tempfile.mkdtemp(prefix="bcm_merge_query_wh_")
+        atexit.register(shutil.rmtree, wh, ignore_errors=True)
         cat = ParquetCatalog(spark, wh)
         docs = _docs(spark, sf_dir)
         base = docs.select(
@@ -976,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_exact_winner": kg_exact_winner,
         "kg_co_mentions": kg_co_mentions,
         "kg_exact_degree": kg_exact_degree,
+        "dedup_decontaminate_exact": dedup_decontaminate_exact,
         "j7_canonical_mapping": j7_canonical_mapping,
         "kg_mention_recall": kg_mention_recall,
         "text_lang_id": text_lang_id,
@@ -1904,6 +1919,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE {_CORPUS_COND}
               AND doc_id NOT IN (SELECT corpus_id FROM cross_pairs)
+        """,
+        "dedup_decontaminate_exact": f"""
+            -- exact 13-gram collision rule (GPT-3/PaLM decontamination):
+            -- any shared word 13-gram with a benchmark doc contaminates
+            WITH {_hashed_shingle_cte(13)},
+            contaminated AS (
+              SELECT DISTINCT a.doc_id
+              FROM hrows a JOIN hrows b ON a.h = b.h
+              WHERE a.{_CORPUS_COND} AND b.{_BENCH_COND}
+            )
+            SELECT doc_id, source FROM documents
+            WHERE {_CORPUS_COND}
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
         "dedup_clusters": f"""
             -- closure over the LSH-verified pair set (the operator's

@@ -411,6 +411,47 @@ def decontaminate(
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+def exact_ngram_collisions(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Corpus ids sharing ≥1 exact word n-gram with any benchmark doc —
+    the GPT-3/PaLM-style exact-collision contamination rule (a training doc
+    is contaminated on ANY 13-gram collision with an eval doc; docs shorter
+    than n words contribute their whole token string, so short exact
+    copies still collide).
+
+    Plan: both sides explode to (id, h) 60-bit n-gram-hash rows; the
+    benchmark side is distinct-ed and BROADCAST (eval suites are dimension-
+    sized next to a training corpus), so the corpus side stays narrow — a
+    broadcast semi-join then one distinct on bare ids. Nothing corpus-sized
+    ever shuffles except contaminated ids."""
+    ch = _hashed_shingle_rows(corpus, id_col, text_col, n)
+    bh = _hashed_shingle_rows(benchmark, id_col, text_col, n).select("h").distinct()
+    return (
+        ch.join(F.broadcast(bh), "h", "left_semi")
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+
+
+def decontaminate_exact(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Corpus rows with NO exact word n-gram collision against the
+    benchmark corpus (the decontamination variant most eval pipelines
+    specify, vs the MinHash near-dup rule in ``decontaminate``)."""
+    contaminated = exact_ngram_collisions(corpus, benchmark, id_col, text_col, n)
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str,

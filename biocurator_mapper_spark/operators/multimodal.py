@@ -64,9 +64,33 @@ def _real_decode_unavailable(blob: bytes) -> np.ndarray:
     )
 
 
+def _pil_decode(blob: bytes) -> np.ndarray:
+    """Real image decode via PIL: grayscale 8×8 thumbnail → 64 floats in
+    [0, 1] — the same output contract as the fake decoder, so swapping
+    decoders changes no schema or plan shape. The import lives in the
+    function body: the callable is resolved driver-side and travels in the
+    closure, and executors re-importing this module resolve PIL themselves."""
+    import io
+
+    from PIL import Image
+
+    if blob is None:
+        return np.zeros(64, dtype=np.float32)
+    img = Image.open(io.BytesIO(blob)).convert("L").resize((8, 8))
+    return (np.asarray(img, dtype=np.float32) / 255.0).reshape(-1)
+
+
+def real_decoder_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
 MEDIA_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "deterministic-fake": _fake_decode,
-    "real": _real_decode_unavailable,
+    # gated at import: containers with PIL get a REAL image decoder under
+    # the same registry key; without it the slot raises with instructions
+    "real": _pil_decode if real_decoder_available() else _real_decode_unavailable,
 }
 
 

@@ -22,10 +22,26 @@ from pyspark.sql import DataFrame
 from ..functions.embed import hash_embed_py
 
 
+# Ontologies up to this many terms resolve with dense driver-side math (one
+# collect at construction — same judgement call as triples.DRIVER_TERMS_MAX).
+# Bigger ontologies switch to the DISTRIBUTED candidate path: scoring runs
+# as a Spark job per resolve with the top-n LIMIT pushed into the plan
+# (TakeOrderedAndProject), so only ~2k candidate rows — never the full
+# score vector — cross to the driver.
+RESOLVER_DRIVER_TERMS_MAX = 200_000
+
+_TERM_COLS = [
+    "term_id", "name", "definition", "exact_synonyms", "all_synonyms",
+    "searchable_text", "namespace",
+]
+
+
 class Resolver:
     """Holds the broadcast-shaped term state; resolve() is driver-side math
     (one passage ≡ one row — no cluster job per request, matching the
-    reference's sub-second interactive latency)."""
+    reference's sub-second interactive latency). Past
+    ``max_driver_terms``, candidate generation becomes a bounded Spark job
+    instead (full-ontology recall, driver traffic capped at ~2k rows)."""
 
     def __init__(
         self,
@@ -33,6 +49,7 @@ class Resolver:
         k: int = 5,
         chat_provider=None,
         explain: bool = False,
+        max_driver_terms: int = RESOLVER_DRIVER_TERMS_MAX,
     ):
         """``chat_provider`` (name in CHAT_PROVIDERS or a callable) turns on
         the reference's LLM rerank for the interactive path — prompt,
@@ -42,10 +59,22 @@ class Resolver:
         self.k = k
         self.chat_provider = chat_provider
         self.explain = explain
-        rows = terms.select(
-            "term_id", "name", "definition", "exact_synonyms", "all_synonyms",
-            "searchable_text", "namespace",
-        ).collect()
+        probe = terms.select(*_TERM_COLS).limit(max_driver_terms + 1).collect()
+        self.distributed = len(probe) > max_driver_terms
+        if self.distributed:
+            from ..functions.embed import with_hash_embedding
+
+            # term vectors computed ONCE, cached cluster-side; per-resolve
+            # cost is one scan of the cached relation + two pushed limits
+            self.scored_base = with_hash_embedding(
+                terms.select(*_TERM_COLS), "searchable_text", "term_embedding"
+            ).cache()
+            self.n_terms = self.scored_base.count()  # materialize the cache
+            self.terms = {}
+            self.ids = []
+            return
+        rows = probe
+        self.n_terms = len(rows)
         self.terms = {r.term_id: r for r in rows}
         vec_rows = [(r.term_id, hash_embed_py(r.searchable_text)) for r in rows]
         self.ids = [t for t, _ in vec_rows]
@@ -57,15 +86,10 @@ class Resolver:
         else:
             self.matrix = np.zeros((0, 1), dtype=np.float32)
 
-    def resolve(self, passage: str) -> dict:
-        if not self.ids:
-            return {"error": "No candidates provided"}
-        q = np.array(hash_embed_py(passage), dtype=np.float32)
-        qn = np.linalg.norm(q)
-        if qn > 0:
-            q = q / qn
+    def _candidates_dense(self, passage_l: str, q: np.ndarray) -> list[tuple]:
+        """Driver-side candidate generation: (term_row, sim) pairs, surface
+        hits first, bounded by k."""
         sims = self.matrix @ q
-        passage_l = passage.lower()
         k = min(self.k, len(self.ids))
         top = np.argpartition(-sims, k - 1)[:k]
         # recall union: vector top-k ∪ surface-form hits (the batch
@@ -86,11 +110,58 @@ class Resolver:
             for i in sorted(top, key=lambda i: (-sims[i], self.ids[i]))
             if i not in set(surface_hits)
         ]
-        cand_idx = np.array(filled[:k])
+        return [(self.terms[self.ids[i]], float(sims[i])) for i in filled[:self.k]]
 
-        def stub_score(i: int) -> tuple[float, float, str]:
-            r = self.terms[self.ids[i]]
-            certainty = (1.0 + float(sims[i])) / 2.0
+    def _candidate_plan(self, passage_l: str, q: np.ndarray):
+        """(vector top-k DF, surface-hit top-k DF) — both with the LIMIT
+        pushed into the plan (TakeOrderedAndProject: each task keeps a
+        k-sized heap; only ~k rows per partition reach the driver-side
+        merge, never a full score vector)."""
+        from pyspark.sql import functions as F
+
+        from ..functions.embed import cosine_expr
+
+        qvec = F.array(*[F.lit(float(x)) for x in q]).cast("array<float>")
+        scored = self.scored_base.withColumn(
+            "sim", cosine_expr(qvec, F.col("term_embedding")).cast("double")
+        ).drop("term_embedding")
+        pl = F.lit(passage_l)
+        surface_cond = (
+            (F.length(F.col("name")) > 0)
+            & (F.instr(pl, F.lower(F.col("name"))) > 0)
+        ) | F.exists(
+            F.col("all_synonyms"),
+            lambda s: (F.length(s) > 0) & (F.instr(pl, F.lower(s)) > 0),
+        )
+        order = [F.desc("sim"), F.asc("term_id")]
+        top = scored.orderBy(*order).limit(self.k)
+        surf = scored.where(surface_cond).orderBy(*order).limit(self.k)
+        return top, surf
+
+    def _candidates_distributed(self, passage_l: str, q: np.ndarray) -> list[tuple]:
+        top, surf = self._candidate_plan(passage_l, q)
+        surf_rows = surf.collect()
+        surf_ids = {r.term_id for r in surf_rows}
+        top_rows = [r for r in top.collect() if r.term_id not in surf_ids]
+        cands = surf_rows + top_rows
+        return [(r, float(r.sim)) for r in cands[: self.k]]
+
+    def resolve(self, passage: str) -> dict:
+        if self.n_terms == 0:
+            return {"error": "No candidates provided"}
+        q = np.array(hash_embed_py(passage), dtype=np.float32)
+        qn = np.linalg.norm(q)
+        if qn > 0:
+            q = q / qn
+        passage_l = passage.lower()
+        cands = (
+            self._candidates_distributed(passage_l, q)
+            if self.distributed
+            else self._candidates_dense(passage_l, q)
+        )
+
+        def stub_score(r, sim: float) -> tuple[float, float, str]:
+            certainty = (1.0 + sim) / 2.0
             exact_surfaces = [r.name or "", *(r.exact_synonyms or [])]
             hit = next(
                 (s for s in sorted(exact_surfaces, key=lambda s: -len(s))
@@ -101,11 +172,10 @@ class Resolver:
             return bonus + certainty, certainty, hit
 
         ranked = sorted(
-            ((stub_score(i), i) for i in cand_idx),
-            key=lambda t: (-t[0][0], -t[0][1], self.ids[t[1]]),
+            ((stub_score(r, sim), r) for r, sim in cands),
+            key=lambda t: (-t[0][0], -t[0][1], t[1].term_id),
         )
-        (score, certainty, hit), best_i = ranked[0]
-        best = self.terms[self.ids[best_i]]
+        (score, certainty, hit), best = ranked[0]
         # exactness bonus keys on the hit itself, not score >= 1.0 (a
         # non-exact candidate with certainty exactly 1.0 is not exact)
         confidence = min(1.0, certainty + (0.05 if hit is not None else 0.0))
@@ -116,18 +186,15 @@ class Resolver:
         )
         llm_error = None
         if self.chat_provider is not None:
-            llm = self._llm_rerank(passage, ranked, cand_idx)
+            llm = self._llm_rerank(passage, ranked)
             if llm is not None and llm.get("error") is None:
-                chosen = self.terms[llm["id"]]
-                ranked = [r for r in ranked if self.ids[r[1]] == llm["id"]] + [
-                    r for r in ranked if self.ids[r[1]] != llm["id"]
+                ranked = [r for r in ranked if r[1].term_id == llm["id"]] + [
+                    r for r in ranked if r[1].term_id != llm["id"]
                 ]
-                best = chosen
+                best = ranked[0][1]
                 confidence = float(llm["confidence"])
                 reason = llm["reason"]
-                certainty = next(
-                    s[1] for s, i in ranked if self.ids[i] == llm["id"]
-                )
+                certainty = ranked[0][0][1]
             elif llm is not None:
                 llm_error = llm["error"]  # deterministic stub stays in force
         out = {
@@ -139,8 +206,7 @@ class Resolver:
             "confidence": round(confidence, 4),
             "reason": reason,
             "alternatives": [
-                {"id": self.ids[i], "name": self.terms[self.ids[i]].name}
-                for (_, i) in ranked[1:]
+                {"id": r.term_id, "name": r.name} for (_, r) in ranked[1:]
             ],
             "similarity_certainty": round(certainty, 4),
         }
@@ -158,7 +224,7 @@ class Resolver:
         p = self.chat_provider
         return CHAT_PROVIDERS[p] if isinstance(p, str) else p
 
-    def _llm_rerank(self, passage: str, ranked, cand_idx) -> dict | None:
+    def _llm_rerank(self, passage: str, ranked) -> dict | None:
         """Reference select_best_match semantics (llm_matcher.py:77-138):
         rich candidate prompt → chat call with retry/backoff → fence-strip +
         required-keys + id-in-candidates validation. Returns the validated
@@ -167,8 +233,7 @@ class Resolver:
         from .providers import build_match_prompt, parse_llm_reply, retry_call
 
         cands = []
-        for (s, cert, _hit), i in ranked:
-            r = self.terms[self.ids[i]]
+        for (s, cert, _hit), r in ranked:
             cands.append(
                 {
                     "id": r.term_id,

@@ -91,18 +91,36 @@ class ParquetCatalog:
         return sorted(vs, key=lambda n: os.path.getmtime(os.path.join(tdir, n)))
 
     def vacuum_table(self, table: str, keep: int = 2) -> list[str]:
-        """Retire all but the newest ``keep`` versions (never the live one).
-        Returns removed version names."""
+        """Retire all but the newest ``keep`` versions (never the live one,
+        and never a version whose REAL bucket dirs are still symlink-
+        referenced by a retained snapshot — a table initialized with real
+        bucket dirs gets them re-linked by later merges, so deleting the
+        old version dir would delete live data). Returns removed names."""
         import shutil
 
+        tdir = self._table_dir(table)
         live = self.current_version(table)
         vs = self.versions(table)
         removable = [v for v in vs[:-keep] if v != live] if keep > 0 else [
             v for v in vs if v != live
         ]
+        retained = [v for v in vs if v not in set(removable)]
+        referenced: set[str] = set()
+        for v in retained:
+            vdir = os.path.join(tdir, v)
+            for name in os.listdir(vdir):
+                referenced.add(os.path.realpath(os.path.join(vdir, name)))
+        removed = []
         for v in removable:
-            shutil.rmtree(os.path.join(self._table_dir(table), v))
-        return removable
+            vdir = os.path.join(tdir, v)
+            vreal = os.path.realpath(vdir)
+            if any(
+                r == vreal or r.startswith(vreal + os.sep) for r in referenced
+            ):
+                continue  # retained snapshots resolve into this dir
+            shutil.rmtree(vdir)
+            removed.append(v)
+        return removed
 
     # ------------------------------------------------------------ merge/upsert
 

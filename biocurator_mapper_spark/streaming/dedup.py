@@ -41,13 +41,16 @@ def streaming_exact_dedup(
     # NULL text → NULL fingerprint, and dropDuplicatesWithinWatermark
     # treats NULL keys as EQUAL — all not-yet-extracted (html-only) pages
     # would collapse to one. Key such rows by their unique url instead so
-    # they pass through for later extraction.
+    # they pass through for later extraction. concat() null-propagates, so
+    # a NULL-text/NULL-url row needs one more fallback (its event time) or
+    # all such rows would still collapse under NULL-equal semantics.
     return (
         pages_stream.withColumn(
             "fingerprint",
             F.coalesce(
                 doc_fingerprint(F.col(text_col)),
                 F.concat(F.lit("nullarmor:"), F.col("url")),
+                F.concat(F.lit("nullrow:"), F.col(ts_col).cast("string")),
             ),
         )
         .withWatermark(ts_col, watermark)

@@ -21,6 +21,21 @@ from pyspark.sql.streaming import StreamingQuery
 from ..sources.catalog import ParquetCatalog
 
 
+def _orderable(dt) -> bool:
+    """True when a Spark SQL type participates in ORDER BY / struct-min —
+    everything except MapType (recursively: an array of maps or a struct
+    holding a map is just as unorderable)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def merge_upsert_stream(
     stream_df: DataFrame,
     catalog: ParquetCatalog,
@@ -36,9 +51,12 @@ def merge_upsert_stream(
     A micro-batch may carry several rows for one key (e.g. a page
     re-crawled within the batch window); MERGE requires unique source keys,
     so the batch is reduced to one row per key first — by max ``order_col``
-    (latest wins, ties broken deterministically by the remaining sort)
-    when given, else the struct-minimum row over the non-key columns
-    (deterministic, so a replayed batch commits identical content).
+    (latest wins, ties broken deterministically by the ORDERABLE non-key
+    columns) when given, else the row winning a deterministic sort over
+    those same columns (so a replayed batch commits identical content).
+    Non-orderable columns (maps, recursively) are excluded from sort keys
+    — they would throw at runtime — so determinism is guaranteed only up
+    to rows that tie on every orderable column.
     ``trigger`` is passed to ``writeStream.trigger`` — default
     ``{"availableNow": True}`` drains what exists and stops (batch-style
     catch-up); pass e.g. ``{"processingTime": "1 minute"}`` for a
@@ -48,26 +66,28 @@ def merge_upsert_stream(
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        if order_col is not None:
-            w = Window.partitionBy(*key_cols).orderBy(
-                F.desc(order_col), *[F.asc(c) for c in batch_df.columns]
-            )
-            src = (
-                batch_df.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-        else:
-            # dropDuplicates picks a partitioning-dependent winner — a
-            # replayed batch could commit different content. min over a
-            # struct of the remaining columns is deterministic, keeping
-            # merge replay idempotent (columns must be orderable).
-            others = [c for c in batch_df.columns if c not in key_cols]
-            src = (
-                batch_df.groupBy(*key_cols)
-                .agg(F.min(F.struct(*others)).alias("_row"))
-                .select(*key_cols, "_row.*")
-            )
+        # dropDuplicates picks a partitioning-dependent winner — a
+        # replayed batch could commit different content. A row_number
+        # window over a deterministic sort keeps merge replay idempotent.
+        # Sort keys must be ORDERABLE: a map column (recursively) throws,
+        # so such columns ride along as payload instead of sort keys.
+        tiebreak = [
+            F.asc(f.name)
+            for f in batch_df.schema.fields
+            if f.name not in key_cols
+            and f.name != order_col
+            and _orderable(f.dataType)
+        ]
+        lead = [F.desc(order_col)] if order_col is not None else []
+        # row_number requires ≥1 sort key; all-map payloads fall back to
+        # the (constant) keys — legal, winner arbitrary-but-single
+        order = [*lead, *tiebreak] or [F.asc(c) for c in key_cols]
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        src = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         catalog.merge_upsert(src, table, key_cols, n_buckets=n_buckets)
 
     return (

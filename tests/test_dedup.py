@@ -112,6 +112,37 @@ def test_simhash_identical_docs_zero_distance(spark, docs):
     assert by_id[1] == by_id[102]  # case-insensitive tokens
 
 
+def test_decontaminate_exact_ngram_collision_rule(spark, docs):
+    """Exact n-gram decontamination: any shared word n-gram with a
+    benchmark doc drops the corpus doc; the rule matches a pure-Python
+    n-gram set intersection."""
+    from biocurator_mapper_spark.operators.dedup import decontaminate_exact
+
+    rows = {r.doc_id: r.text for r in docs.collect()}
+
+    def ngrams(text, n):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)} if toks else set()
+
+    bench = spark.createDataFrame(
+        [(900, rows[0]), (901, "totally novel benchmark prose here")],
+        "doc_id long, text string",
+    )
+    for n in (5, 13):
+        bench_grams = ngrams(rows[0], n) | ngrams("totally novel benchmark prose here", n)
+        want = {
+            i for i, t in rows.items() if not (ngrams(t, n) & bench_grams)
+        }
+        got = {
+            r.doc_id
+            for r in decontaminate_exact(docs, bench, "doc_id", "text", n=n).collect()
+        }
+        assert got == want, f"n={n}"
+        assert 0 not in got and 100 not in got  # exact copy of doc 0 collides
+
+
 def test_decontaminate_removes_benchmark_near_dups(spark, docs):
     """Train/eval decontamination: corpus docs near-duplicating a benchmark
     doc are dropped; unrelated docs survive."""

@@ -100,6 +100,37 @@ def test_media_features_deterministic_and_content_sensitive(spark):
     assert out[4].feature == [0.0] * 64  # null blob degrades
 
 
+def test_real_decoder_registry_gated_on_pil(spark):
+    """The 'real' registry slot resolves to a PIL decoder when PIL is
+    importable, else to the documented NotImplementedError stub — tests
+    pass either way, and with PIL present the real decode must honor the
+    same 64-float output contract as the fake decoder (parity of shape,
+    schema and metadata on a tiny real image)."""
+    from biocurator_mapper_spark.operators.multimodal import (
+        MEDIA_DECODERS,
+        real_decoder_available,
+    )
+
+    if not real_decoder_available():
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            MEDIA_DECODERS["real"](b"xx")
+        return
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (16, 16), color=(255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, png)], "media_id long, media binary")
+    r = extract_media_features(df, decoder="real").collect()[0]
+    assert r.feat_dim == 64  # same contract as the fake decoder
+    assert all(0.0 <= x <= 1.0 for x in r.feature)
+    assert r.content_sha == hashlib.sha256(png).hexdigest()
+
+
 def test_frame_sample_shape(spark):
     df = spark.createDataFrame([(1, b"vid-bytes")], "media_id long, media binary")
     rows = frame_sample(df, n_frames=3).collect()

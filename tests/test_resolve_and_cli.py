@@ -34,6 +34,50 @@ def test_resolve_no_surface_still_answers(spark, terms):
     assert len(out["alternatives"]) == 4
 
 
+def test_resolve_distributed_path_parity_and_limit_pushdown(spark, terms):
+    """Past max_driver_terms the Resolver must NOT collect the ontology:
+    candidate generation becomes a Spark job with the top-n limit pushed
+    into the plan (TakeOrderedAndProject — per-task k-heaps, never a full
+    score vector driver-side), and the answer must match the dense path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.functions.embed import hash_embed_py
+
+    # synthetic large-ish ontology: the fixture terms + 3000 filler terms
+    filler = spark.range(3000).select(
+        F.concat(F.lit("FAKE:"), F.col("id").cast("string")).alias("term_id"),
+        F.concat(F.lit("filler term "), F.col("id")).alias("name"),
+        F.concat(F.lit("definition of filler "), F.col("id")).alias("definition"),
+        F.array().cast("array<string>").alias("exact_synonyms"),
+        F.array().cast("array<string>").alias("all_synonyms"),
+        F.concat(F.lit("filler term "), F.col("id")).alias("searchable_text"),
+        F.lit("fake").alias("namespace"),
+    )
+    cols = [
+        "term_id", "name", "definition", "exact_synonyms", "all_synonyms",
+        "searchable_text", "namespace",
+    ]
+    big = terms.select(*cols).unionByName(filler)
+    passage = "Intracellular membrane-bounded organelle activity was observed"
+    dense = Resolver(big, k=5)  # default cap: everything driver-side
+    dist = Resolver(big, k=5, max_driver_terms=1000)
+    assert not dense.distributed and dist.distributed
+    got_dense, got_dist = dense.resolve(passage), dist.resolve(passage)
+    assert got_dist["best_match"] == got_dense["best_match"]
+    assert got_dist["reason"] == got_dense["reason"]
+    assert {a["id"] for a in got_dist["alternatives"]} == {
+        a["id"] for a in got_dense["alternatives"]
+    }
+    # the limit is IN the plan, not applied after a collect
+    q = np.array(hash_embed_py(passage), dtype=np.float32)
+    q = q / np.linalg.norm(q)
+    top, surf = dist._candidate_plan(passage.lower(), q)
+    for df in (top, surf):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan[:500]
+
+
 def test_resolve_empty_ontology_errors(spark, terms):
     empty = terms.where("term_id = 'nope'")
     r = Resolver(empty)

@@ -244,6 +244,51 @@ def test_catalog_merge_upsert_bucket_cow(spark, tmp_path):
         cat.merge_upsert(delta, "terms", ["name"])
 
 
+def test_vacuum_table_protects_relinked_real_buckets(spark, tmp_path):
+    """A table initialized with REAL bucket dirs (write_replace partitioned
+    by part_bucket) gets those dirs symlink-relinked by a later merge;
+    vacuum_table must refuse to delete the old version dir while a retained
+    snapshot still resolves into it (deleting it would drop live data)."""
+    import os
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(f"GO:{i:04d}", f"name{i}", 1) for i in range(100)],
+        "term_id string, name string, rev int",
+    ).withColumn("part_bucket", F.pmod(F.hash("term_id"), F.lit(8)))
+    v1 = cat.write_replace(base, "terms", partition_by=["part_bucket"])
+    delta = spark.createDataFrame(
+        [("GO:0003", "renamed", 2)], "term_id string, name string, rev int"
+    )
+    v2 = cat.merge_upsert(delta, "terms", ["term_id"], n_buckets=8)
+    tdir = cat._table_dir("terms")
+    # sanity: v2 symlinks untouched buckets into v1's REAL dirs
+    linked = [
+        n for n in os.listdir(os.path.join(tdir, v2))
+        if os.path.realpath(os.path.join(tdir, v2, n)).startswith(
+            os.path.realpath(os.path.join(tdir, v1))
+        )
+    ]
+    assert linked, "merge should re-link untouched real bucket dirs"
+    removed = cat.vacuum_table("terms", keep=1)
+    assert v1 not in removed and os.path.isdir(os.path.join(tdir, v1))
+    got = {r.term_id: r.name for r in cat.read("terms").collect()}
+    assert len(got) == 100 and got["GO:0003"] == "renamed"
+    # a version nothing references IS still vacuumable
+    v3 = cat.merge_upsert(
+        spark.createDataFrame(
+            [("GO:0004", "renamed2", 3)], "term_id string, name string, rev int"
+        ),
+        "terms",
+        ["term_id"],
+    )
+    # v2's bucket links all re-resolve to v1/merge dirs, so v2 itself only
+    # holds symlinks and can go once it falls out of the retained window
+    removed2 = cat.vacuum_table("terms", keep=1)
+    assert v2 in removed2 and cat.read("terms").count() == 100
+    assert cat.current_version("terms") == v3
+
+
 def test_merge_log_commit_stats(spark, tmp_path):
     """Each merge appends one commit-summary row (Iceberg snapshot-summary
     analog): source rows, kept rows in rewritten buckets, bucket count."""
