@@ -41,7 +41,7 @@ from biocurator_mapper_spark.functions.text import (  # noqa: E402
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read(spark, sf_dir, "documents")
 
 
 # Plan memo for the correctness pass: several contract queries share one
@@ -64,6 +64,18 @@ def _memo_df(spark: SparkSession, key: tuple, build: Callable[[], DataFrame]) ->
     if ent is None or ent[0] is not spark:  # new session reusing an id
         _MEMO[k] = ent = (spark, build())  # spark ref pins id uniqueness
     return ent[1]
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Memoized parquet scan: 62 contract queries × a footer/schema probe
+    per read adds seconds of pure constant overhead to the driver's
+    correctness pass; one shared scan relation per (session, table) is
+    result-identical (and bench disables the memo)."""
+    return _memo_df(
+        spark,
+        ("read", sf_dir, table),
+        lambda: spark.read.parquet(f"{sf_dir}/{table}.parquet"),
+    )
 
 
 def _triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,7 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def p2_curie_normalize(spark, sf_dir):
-        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        part = _read(spark, sf_dir, "part")
         uri = F.concat(F.lit("http://purl.obolibrary.org/obo/PART_"), F.col("p_partkey"))
         return part.select(
             F.col("p_partkey").alias("part_key"),
@@ -269,7 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def p7_searchable_text(spark, sf_dir):
-        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        part = _read(spark, sf_dir, "part")
         return part.select(
             F.col("p_partkey").alias("part_key"),
             F.concat_ws(
@@ -283,7 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def p8_searchable_config(spark, sf_dir):
         from biocurator_mapper_spark.ontology.parser import searchable_text_config
 
-        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        part = _read(spark, sf_dir, "part")
         return part.select(
             F.col("p_partkey").alias("part_key"),
             searchable_text_config(
@@ -298,7 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def emb_cosine_pairs_exact(spark, sf_dir):
         # brute-force near-dup pairs among a bounded query slice (the
         # LSH-bucketed scale variant is pinned against this in pytest)
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _read(spark, sf_dir, "embeddings")
         from biocurator_mapper_spark.functions.embed import cosine_expr
 
         a = emb.where(F.col("vec_id") < 100).select(
@@ -319,7 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def p13_content_hash(spark, sf_dir):
-        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        orders = _read(spark, sf_dir, "orders")
         return orders.select(
             F.col("o_orderkey").alias("order_key"),
             content_hash(
@@ -340,7 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def w2_keep_last_n(spark, sf_dir):
         from pyspark.sql import Window
 
-        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        e = _read(spark, sf_dir, "events")
         w = Window.partitionBy("user_id").orderBy(
             F.desc("ts"), F.desc("event_id")
         )
@@ -351,7 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def w3_latest_record(spark, sf_dir):
-        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        e = _read(spark, sf_dir, "events")
         return e.groupBy("user_id").agg(
             F.max_by("event_id", F.struct(F.col("ts"), F.col("event_id"))).alias(
                 "latest_event_id"
@@ -367,7 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "mention", "term_id")
 
     def j5_topk_similarity(spark, sf_dir):
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _read(spark, sf_dir, "embeddings")
         queries_df = emb.where(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
         )
@@ -389,7 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             collect_corpus_matrix,
         )
 
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _read(spark, sf_dir, "embeddings")
         ids, mat = collect_corpus_matrix(
             emb.select(F.col("vec_id").cast("string").alias("term_id"), "embedding")
         )
@@ -404,9 +416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def j1_broadcast_enrich(spark, sf_dir):
-        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        orders = _read(spark, sf_dir, "orders")
+        cust = _read(spark, sf_dir, "customer")
+        nation = _read(spark, sf_dir, "nation")
         return (
             orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -418,14 +430,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def j3_antijoin_unprocessed(spark, sf_dir):
-        part = spark.read.parquet(f"{sf_dir}/part.parquet")
-        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        part = _read(spark, sf_dir, "part")
+        li = _read(spark, sf_dir, "lineitem")
         return part.join(
             li, part.p_partkey == li.l_partkey, "left_anti"
         ).select(F.col("p_partkey").alias("part_key"))
 
     def a1_stage_counters(spark, sf_dir):
-        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        e = _read(spark, sf_dir, "events")
         # per-row cents quantization + integer sum: order-independent and
         # engine-exact (round(sum(double)) depends on partial-agg order)
         return e.groupBy("event_type").agg(
@@ -437,7 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def a2_throughput(spark, sf_dir):
-        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        e = _read(spark, sf_dir, "events")
         return e.groupBy("event_type").agg(
             (
                 F.count(F.lit(1))
@@ -449,7 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def agg_pricing_summary(spark, sf_dir):
-        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        li = _read(spark, sf_dir, "lineitem")
         return (
             li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
@@ -483,9 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def join_top_customers_per_nation(spark, sf_dir):
         from pyspark.sql import Window
 
-        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        orders = _read(spark, sf_dir, "orders")
+        cust = _read(spark, sf_dir, "customer")
+        nation = _read(spark, sf_dir, "nation")
         spend = (
             orders.groupBy("o_custkey")
             # exact cents: a rounded double total could tie-flip who makes
@@ -517,7 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def events_hourly_windows(spark, sf_dir):
-        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        e = _read(spark, sf_dir, "events")
         return e.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
         ).agg(
@@ -533,7 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def a3_batch_count(spark, sf_dir):
-        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        e = _read(spark, sf_dir, "events")
         return e.groupBy("event_type").agg(
             F.ceil(F.count(F.lit(1)) / F.lit(100)).alias("total_batches")
         )
@@ -550,7 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def p11_json_parse(spark, sf_dir):
-        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        e = _read(spark, sf_dir, "events")
         parsed = F.from_json(F.col("props"), "k int")
         return e.select(
             "event_id", parsed["k"].alias("k_value")
@@ -664,7 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sim_ann_lsh_topk(spark, sf_dir):
         # candidate generation is integer-exact (quantized vectors × ±1
         # sign planes), so the DuckDB oracle replicates it bit-for-bit
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _read(spark, sf_dir, "embeddings")
         q = emb.where(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
         )
@@ -683,7 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # centroids driver-side and inlines them as a VALUES table
         from biocurator_mapper_spark.operators.similarity import ivf_topk
 
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _read(spark, sf_dir, "embeddings")
         q = emb.where(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
         )
@@ -704,7 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             embedding_cosine_pairs,
         )
 
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _read(spark, sf_dir, "embeddings")
         return embedding_cosine_pairs(
             emb, "vec_id", "embedding", dim=64, threshold=0.4,
             n_planes=6, n_tables=6, seed=11,
@@ -814,7 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_rollup_report(spark, sf_dir):
         # multi-granularity rollup in ONE pass (GROUPING SETS): per
         # (day, type), per day, and grand total
-        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        e = _read(spark, sf_dir, "events")
         # sum an integer-quantized value (cents): round(sum(double), 2)
         # would depend on partial-aggregate accumulation order near
         # half-cent boundaries; per-row floor(x*100+0.5) + integer sum is
