@@ -109,13 +109,15 @@ def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> D
     exploded rows buys full parallelism, and its materialized map side is
     stage-skipped for every later consumer of the same subtree.
     """
+    from ..functions.partitions import estimated_source_partitions
+
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode_outer(shingles_expr(F.col(text_col), n)).alias("shingle"),
     ).where(F.col("shingle").isNotNull())
     spark = df.sparkSession
     default_p = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(default_p // 2, 1):
+    if estimated_source_partitions(df) < max(default_p // 2, 1):
         exploded = exploded.repartition(default_p)
     return exploded.select("_id", shingle_hash_expr(F.col("shingle")).alias("h"))
 

@@ -182,8 +182,10 @@ def _fused_page_scan(
     # partition) would run the whole extract/scan/embed stage on ONE task;
     # one round-robin shuffle of the raw pages buys full parallelism.
     # Properly split 100 TB inputs (maxPartitionBytes-sized) skip this.
+    from ..functions.partitions import estimated_source_partitions
+
     default_p = pages.sparkSession.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < max(default_p // 2, 1):
+    if estimated_source_partitions(pages) < max(default_p // 2, 1):
         src = src.repartition(default_p)
     return src.mapInPandas(_scan, out_schema)
 
@@ -194,6 +196,7 @@ def _fused_page_scan(
 # the same prepared tree slots into every plan the process builds. Keyed by
 # the gateway id so a restarted JVM can never see stale Java objects.
 _RERANK_CACHE: dict = {}
+_OUTPUT_CACHE: dict = {}
 
 
 def _rerank_exprs(k: int):
@@ -276,6 +279,75 @@ def _rerank_exprs(k: int):
     winner = F.try_element_at(ranked, F.lit(1))
     _RERANK_CACHE[key] = (ranked, winner)
     return ranked, winner
+
+
+def _output_exprs(k: int, pred_suffix: str, n_buckets: int):
+    """(winner-fanout columns, triple-projection columns) — like
+    ``_rerank_exprs``, pure functions of their scalar args cached per
+    gateway: the two selects cost a few hundred py4j round trips to build.
+
+    The fanout runs in a SEPARATE projection from the one binding
+    ``_w``/``_ranked`` (CollapseProject keeps non-cheap multiply-referenced
+    expressions materialized once per row — see CLAUDE.md)."""
+    from pyspark import SparkContext
+
+    key = (id(SparkContext._gateway), k, pred_suffix, n_buckets)
+    cached = _OUTPUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    w = F.col("_w")
+    fanout = [
+        F.col("url"),
+        F.col("warc_ts"),
+        F.col("lang"),
+        w["term_id"].alias("term_id"),
+        w["mention"].alias("mention"),
+        w["certainty"].cast("float").alias("certainty"),
+        F.least(
+            F.lit(1.0),
+            w["certainty"]
+            + F.when(w["exact_hit"], F.lit(0.05)).otherwise(F.lit(0.0)),
+        )
+        .cast("float")
+        .alias("confidence"),
+        F.when(
+            w["exact_hit"],
+            F.concat(
+                F.lit("exact surface match '"),
+                w["mention"],
+                F.lit("' for "),
+                w["term_id"],
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("highest embedding certainty for "),
+                w["term_id"],
+            )
+        )
+        .alias("reason"),
+        F.transform(
+            F.slice(F.col("_ranked"), 2, k), lambda c: c["term_id"]
+        ).alias("alternatives"),
+    ]
+    triples = [
+        F.col("url").alias("subj"),
+        F.concat(
+            F.split(F.col("obj"), ":").getItem(0), F.lit(":"), F.lit(pred_suffix)
+        ).alias("pred"),
+        F.col("obj"),
+        F.col("mention"),
+        F.col("confidence"),
+        F.col("reason"),
+        F.col("alternatives"),
+        F.col("certainty"),
+        F.col("lang"),
+        F.col("warc_ts"),
+        F.to_date("warc_ts").alias("part_date"),
+        F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int").alias("part_bucket"),
+    ]
+    _OUTPUT_CACHE[key] = (fanout, triples)
+    return fanout, triples
 
 
 def build_triples(
@@ -384,43 +456,11 @@ def build_triples(
     )
 
     ranked, winner = _rerank_exprs(k)
+    fanout_cols, triple_cols = _output_exprs(k, pred_suffix, n_buckets)
     best = (
         g.withColumn("_ranked", ranked)
         .withColumn("_w", winner)
-        .select(
-            "url",
-            "warc_ts",
-            "lang",
-            F.col("_w")["term_id"].alias("term_id"),
-            F.col("_w")["mention"].alias("mention"),
-            F.col("_w")["certainty"].cast("float").alias("certainty"),
-            F.least(
-                F.lit(1.0),
-                F.col("_w")["certainty"]
-                + F.when(F.col("_w")["exact_hit"], F.lit(0.05)).otherwise(F.lit(0.0)),
-            )
-            .cast("float")
-            .alias("confidence"),
-            F.when(
-                F.col("_w")["exact_hit"],
-                F.concat(
-                    F.lit("exact surface match '"),
-                    F.col("_w")["mention"],
-                    F.lit("' for "),
-                    F.col("_w")["term_id"],
-                ),
-            )
-            .otherwise(
-                F.concat(
-                    F.lit("highest embedding certainty for "),
-                    F.col("_w")["term_id"],
-                )
-            )
-            .alias("reason"),
-            F.transform(
-                F.slice(F.col("_ranked"), 2, k), lambda c: c["term_id"]
-            ).alias("alternatives"),
-        )
+        .select(*fanout_cols)
     )
 
     # 6. CANONICALIZE (J7): collapse alias CURIEs (broadcast mapping).
@@ -430,22 +470,7 @@ def build_triples(
     )
 
     # 7. TRIPLES (S9): final projection with partition lineage columns.
-    return best.select(
-        F.col("url").alias("subj"),
-        F.concat(
-            F.split(F.col("obj"), ":").getItem(0), F.lit(":"), F.lit(pred_suffix)
-        ).alias("pred"),
-        F.col("obj"),
-        F.col("mention"),
-        F.col("confidence"),
-        F.col("reason"),
-        F.col("alternatives"),
-        F.col("certainty"),
-        F.col("lang"),
-        F.col("warc_ts"),
-        F.to_date("warc_ts").alias("part_date"),
-        F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int").alias("part_bucket"),
-    )
+    return best.select(*triple_cols)
 
 
 class TriplesPipeline:

@@ -2,6 +2,38 @@
 
 from __future__ import annotations
 
+import pytest as _pytest
+
+
+def test_estimated_source_partitions_decision_parity(spark):
+    """The cheap driver-side split estimate must land on the same side of
+    the under-partitioned threshold (defaultParallelism // 2) as the RDD
+    ground truth, across split sizings — it gates a repartition, so a
+    wrong side either serializes a stage or inserts a useless shuffle."""
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.functions.partitions import (
+        estimated_source_partitions,
+    )
+
+    thresh = max(spark.sparkContext.defaultParallelism // 2, 1)
+    orig = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        for sf in ("0.001", "0.01", "0.1"):
+            for maxpb in (str(256 * 1024 * 1024), str(1024 * 1024)):
+                spark.conf.set("spark.sql.files.maxPartitionBytes", maxpb)
+                df = spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet")
+                est = estimated_source_partitions(df)
+                actual = df.rdd.getNumPartitions()
+                assert (est < thresh) == (actual < thresh), (
+                    sf, maxpb, est, actual, thresh
+                )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", orig)
+    # non-file sources fall back to the RDD probe exactly
+    rng = spark.range(100).select(F.col("id"))
+    assert estimated_source_partitions(rng) == rng.rdd.getNumPartitions()
+
 from pyspark.sql import functions as F
 
 from biocurator_mapper_spark.plans import (
