@@ -111,15 +111,31 @@ def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> D
     """
     from ..functions.partitions import estimated_source_partitions
 
-    exploded = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode_outer(shingles_expr(F.col(text_col), n)).alias("shingle"),
-    ).where(F.col("shingle").isNotNull())
     spark = df.sparkSession
     default_p = spark.sparkContext.defaultParallelism
-    if estimated_source_partitions(df) < max(default_p // 2, 1):
-        exploded = exploded.repartition(default_p)
-    return exploded.select("_id", shingle_hash_expr(F.col("shingle")).alias("h"))
+    under = estimated_source_partitions(df) < max(default_p // 2, 1)
+    if under:
+        # FIRST spread the raw docs (tiny rows): tokenize + shingle + md5
+        # then run on every core instead of serializing on the map side of
+        # a post-explode exchange (measured 2× on the hashing stage)
+        df = df.select(id_col, text_col).repartition(default_p)
+    rows = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer(shingles_expr(F.col(text_col), n)).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+        .select("_id", shingle_hash_expr(F.col("shingle")).alias("h"))
+    )
+    if under:
+        # second (narrow-width: one long per row) exchange = the reuse
+        # point — every consumer subtree (join sides, sizes, hot list,
+        # sigs, sets) reads the materialized hashed rows instead of
+        # re-evaluating the shingle HOF chain. Well-partitioned 100 TB
+        # inputs skip both exchanges: consumers re-evaluate in parallel
+        # rather than shuffle corpus-scale shingle rows.
+        rows = rows.repartition(default_p)
+    return rows
 
 
 # ------------------------------------------------------------------- exact
