@@ -78,15 +78,44 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     )
 
 
+def _warm_python_workers(spark: SparkSession) -> None:
+    """One trivial pandas-UDF job per session (memo-keyed): the daemon
+    spawns one Python worker per core on the FIRST Arrow stage (~6× a warm
+    stage, BENCH.md §3) — paying that on a 100k-row no-op instead of inside
+    the flagship's fused scan. Skipped when the memo is disabled (bench
+    does its own warmup and times fresh passes)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_QUERY_MEMO", "1") == "0":
+        return
+
+    def _run():
+        from pyspark.sql.functions import col, pandas_udf
+
+        f = pandas_udf(lambda s: s, "long")
+        spark.range(100000).select(f(col("id"))).count()
+        return spark.range(1)  # memo slot filler
+
+    _memo_df(spark, ("python_workers_warmed",), _run)
+
+
 def _triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline's full output relation, one plan per session ×
     sf_dir (kg_triples / kg_exact_winner / kg_exact_degree all start here)."""
     from biocurator_mapper_spark.pipeline import build_triples
 
+    _warm_python_workers(spark)
+
+    # persist(): the relation is triple-sized (hundreds of rows at contract
+    # scale) and three queries consume it — with the memo active (the
+    # correctness pass), later consumers read the materialized cache
+    # instead of re-running the fused scan. bench (memo off) never sees it.
     return _memo_df(
         spark,
         ("kg_triples_full", sf_dir),
-        lambda: build_triples(_docs_as_pages(spark, sf_dir), _vocab_terms(spark)),
+        lambda: build_triples(
+            _docs_as_pages(spark, sf_dir), _vocab_terms(spark)
+        ).persist(),
     )
 
 
@@ -106,6 +135,7 @@ def _one_exact_subjs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("term_id").alias("_n"))
             .where(F.col("_n") == 1)
             .select(F.concat(F.lit("doc://"), F.col("doc_id")).alias("subj"))
+            .persist()  # two consumers under the memo; doc-count-bounded
         )
 
     return _memo_df(spark, ("one_exact_subjs", sf_dir), _build)
