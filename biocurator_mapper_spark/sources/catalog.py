@@ -271,6 +271,39 @@ class ParquetCatalog:
         )
         return version
 
+    def compact_table(self, table: str) -> str:
+        """Rewrite the live snapshot into one fresh, fully-materialized
+        version — Iceberg's ``rewrite_data_files`` (small-file compaction).
+
+        A long-lived merge-heavy table accumulates (a) one parquet file
+        set per rewritten bucket per merge and (b) snapshot dirs whose
+        buckets symlink into older versions' real dirs, which blocks
+        ``vacuum_table`` from retiring those versions. Compaction reads
+        the live table once, writes every bucket as real files under a new
+        ``v_*`` dir (one parquet file per bucket — rows re-sorted by the
+        merge keys for locality), and commits via the same atomic pointer
+        flip. After the retention window, ``vacuum_table`` +
+        ``vacuum_merges`` can then retire the whole symlink chain.
+        Returns the new version name."""
+        from pyspark.sql import functions as F
+
+        tdir = self._table_dir(table)
+        meta_path = os.path.join(tdir, "MERGE_META")
+        key_cols: list[str] = []
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                key_cols = json.load(f)["key_cols"]
+        df = self.read(table)
+        if "part_bucket" in df.columns:
+            # one output file per bucket dir: repartition on the partition
+            # column so each task owns whole buckets (the dynamic-partition
+            # write otherwise emits one file per (task, bucket) pair)
+            df = df.repartition(F.col("part_bucket"))
+            if key_cols:
+                df = df.sortWithinPartitions(*key_cols)
+            return self.write_replace(df, table, partition_by=["part_bucket"])
+        return self.write_replace(df, table)
+
     def vacuum_merges(self, table: str) -> list[str]:
         """Retire ``merges/m_*`` run dirs referenced by NO retained snapshot
         (run after ``vacuum_table``). Returns removed paths."""

@@ -289,6 +289,47 @@ def test_vacuum_table_protects_relinked_real_buckets(spark, tmp_path):
     assert cat.current_version("terms") == v3
 
 
+def test_compact_table_rewrites_and_unblocks_vacuum(spark, tmp_path):
+    """Compaction (Iceberg rewrite_data_files): after N merges the live
+    snapshot is a symlink chain of per-merge file sets; compact_table must
+    produce an identical-content fully-real version, shrink the per-bucket
+    file count to one, and let vacuum retire the chain afterwards."""
+    import os
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(f"GO:{i:04d}", f"name{i}", 1) for i in range(120)],
+        "term_id string, name string, rev int",
+    )
+    cat.merge_upsert(base, "terms", ["term_id"], n_buckets=4)
+    for rev in (2, 3, 4):  # repeated merges pile up files per bucket
+        delta = spark.createDataFrame(
+            [(f"GO:{i:04d}", f"name{i}r{rev}", rev) for i in range(0, 120, 10)],
+            "term_id string, name string, rev int",
+        )
+        cat.merge_upsert(delta, "terms", ["term_id"])
+    before = {r.term_id: (r.name, r.rev) for r in cat.read("terms").collect()}
+    v_new = cat.compact_table("terms")
+    after = {r.term_id: (r.name, r.rev) for r in cat.read("terms").collect()}
+    assert after == before  # content-identical
+    tdir = cat._table_dir("terms")
+    vdir = os.path.join(tdir, v_new)
+    buckets = [n for n in os.listdir(vdir) if n.startswith("part_bucket=")]
+    assert buckets, "compacted snapshot must be partitioned by bucket"
+    for b in buckets:
+        bdir = os.path.join(vdir, b)
+        assert not os.path.islink(bdir)  # real dirs, no symlink chain
+        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        assert len(files) == 1, (b, files)  # one file per bucket
+    # the chain is now retirable: nothing in the retained window references
+    # the old versions, so vacuum removes them and reads still work
+    cat.vacuum_table("terms", keep=1)
+    cat.vacuum_merges("terms")
+    assert cat.versions("terms") == [v_new]
+    assert not os.listdir(os.path.join(tdir, "merges"))
+    assert {r.term_id: (r.name, r.rev) for r in cat.read("terms").collect()} == before
+
+
 def test_merge_log_commit_stats(spark, tmp_path):
     """Each merge appends one commit-summary row (Iceberg snapshot-summary
     analog): source rows, kept rows in rewritten buckets, bucket count."""
