@@ -435,6 +435,7 @@ def exact_ngram_collisions(
     id_col: str,
     text_col: str,
     n: int = 13,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Corpus ids sharing ≥1 exact word n-gram with any benchmark doc —
     the GPT-3/PaLM-style exact-collision contamination rule (a training doc
@@ -443,14 +444,18 @@ def exact_ngram_collisions(
     copies still collide).
 
     Plan: both sides explode to (id, h) 60-bit n-gram-hash rows; the
-    benchmark side is distinct-ed and BROADCAST (eval suites are dimension-
-    sized next to a training corpus), so the corpus side stays narrow — a
-    broadcast semi-join then one distinct on bare ids. Nothing corpus-sized
-    ever shuffles except contaminated ids."""
+    benchmark side is distinct-ed and BROADCAST by default (eval suites
+    are dimension-sized next to a training corpus), so the corpus side
+    stays narrow — a broadcast semi-join then one distinct on bare ids.
+    Nothing corpus-sized ever shuffles except contaminated ids. Pass
+    ``broadcast_benchmark=False`` for an oversized benchmark: the semi-
+    join becomes a hash-key shuffle (longs only, still never text)."""
     ch = _hashed_shingle_rows(corpus, id_col, text_col, n)
     bh = _hashed_shingle_rows(benchmark, id_col, text_col, n).select("h").distinct()
+    if broadcast_benchmark:
+        bh = F.broadcast(bh)
     return (
-        ch.join(F.broadcast(bh), "h", "left_semi")
+        ch.join(bh, "h", "left_semi")
         .select(F.col("_id").alias(id_col))
         .distinct()
     )

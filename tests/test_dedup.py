@@ -112,6 +112,45 @@ def test_simhash_identical_docs_zero_distance(spark, docs):
     assert by_id[1] == by_id[102]  # case-insensitive tokens
 
 
+def test_minhash_signature_paths_agree(spark):
+    """The per-row array-expression signatures (minhash_signature_cols) and
+    the scale path's explode→hash-aggregate minima must be the same
+    function — both derive the 16 permutations from one 60-bit shingle
+    hash, and a drift between them would silently change LSH banding."""
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.operators.dedup import (
+        _MINHASH_AB,
+        MINHASH_MOD,
+        _hashed_shingle_rows,
+        minhash_signature_cols,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "short"), (3, "")],
+        "doc_id long, text string",
+    )
+    arr = df.select(
+        "doc_id", *minhash_signature_cols(F.col("text"), n=3, num_hashes=4)
+    ).collect()
+    hm = F.col("h") % MINHASH_MOD
+    agg = (
+        _hashed_shingle_rows(df, "doc_id", "text", 3)
+        .groupBy("_id")
+        .agg(
+            *[
+                F.min((F.lit(a) * hm + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
+                for i, (a, b) in enumerate(_MINHASH_AB[:4])
+            ]
+        )
+        .collect()
+    )
+    a = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(4)) for r in arr}
+    g = {r._id: tuple(r[f"mh_{i}"] for i in range(4)) for r in agg}
+    assert a[1] == g[1] and a[2] == g[2]
+    assert all(v is None for v in a[3])  # shingle-less doc → null signature
+
+
 def test_decontaminate_exact_ngram_collision_rule(spark, docs):
     """Exact n-gram decontamination: any shared word n-gram with a
     benchmark doc drops the corpus doc; the rule matches a pure-Python
