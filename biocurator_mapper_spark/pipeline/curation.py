@@ -27,6 +27,61 @@ from ..functions.text import (
 )
 
 
+def curation_gates(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    keep_langs: tuple[str, ...] = ("en",),
+    min_chars: int = 80,
+    min_tokens: int = 10,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.01,
+    max_word_freq_ratio: float = 0.5,
+) -> DataFrame:
+    """The STATELESS per-doc half of the funnel: all input columns +
+    ``fingerprint`` + ``curation_gate`` (null for survivors, else the first
+    failed gate). Shared verbatim by batch ``curate`` and the streaming
+    twin (``streaming/curation.py``) so the two paths can never drift.
+
+    ONE fused signal struct is materialized in its own projection, THEN
+    fanned out: quality counters, repetition run-length and (when no
+    declared lang column exists) the language vote all come from a single
+    tokenize per row — the field values are expression-identical to the
+    standalone quality_struct / repetition_struct / lang_id_expr."""
+    declared_lang = lang_col and lang_col in docs.columns
+    staged = docs.withColumn(
+        "_s",
+        curation_signals_struct(F.col(text_col), with_lang=not declared_lang),
+    )
+    # declared lang may be NULL (crawl metadata gaps): coalesce to 'und'
+    # so ~isin(keep_langs) fires instead of NULL-passing
+    lang = (
+        F.coalesce(F.col(lang_col), F.lit("und"))
+        if declared_lang
+        else F.col("_s.q.lang")
+    )
+    first_gate = (
+        F.when(F.col("_s.q.n_chars") < min_chars, F.lit("too_short"))
+        .when(F.col("_s.q.n_tokens") < min_tokens, F.lit("too_few_tokens"))
+        .when(F.col("_s.q.punct_ratio") > max_punct_ratio, F.lit("too_much_punct"))
+        .when(
+            F.col("_s.q.stopword_ratio") < min_stopword_ratio, F.lit("no_stopwords")
+        )
+        # Gopher-style repetition rule: one token owning more than
+        # max_word_freq_ratio of the doc marks boilerplate/spam
+        .when(
+            F.col("_s.rep.max_word_freq_ratio") > max_word_freq_ratio,
+            F.lit("too_repetitive"),
+        )
+        .when(~lang.isin(list(keep_langs)), F.lit("wrong_language"))
+    )
+    return staged.select(
+        *docs.columns,
+        doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+        first_gate.alias("curation_gate"),
+    )
+
+
 def curate(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -42,46 +97,17 @@ def curate(
     """docs → kept docs with a ``curation_stage`` column marking survivors
     ('kept') and the first gate each rejected doc failed — one relation
     carries both the output corpus and the funnel report."""
-    declared_lang = lang_col and lang_col in docs.columns
-    # ONE fused signal struct materialized in its own projection, THEN
-    # fanned out: quality counters, repetition run-length and (when no
-    # declared lang column exists) the language vote all come from a single
-    # tokenize per row — the field values are expression-identical to the
-    # standalone quality_struct / repetition_struct / lang_id_expr
-    staged = (
-        docs.withColumn(
-            "_s",
-            curation_signals_struct(F.col(text_col), with_lang=not declared_lang),
-        )
-        .select(
-            F.col(id_col),
-            F.col(text_col),
-            F.col("_s.q.n_chars").alias("_nc"),
-            F.col("_s.q.n_tokens").alias("_nt"),
-            F.col("_s.q.punct_ratio").alias("_pr"),
-            F.col("_s.q.stopword_ratio").alias("_sr"),
-            F.col("_s.rep.max_word_freq_ratio").alias("_rr"),
-            # declared lang may be NULL (crawl metadata gaps): coalesce to
-            # 'und' so ~isin(keep_langs) fires instead of NULL-passing
-            (
-                F.coalesce(F.col(lang_col), F.lit("und"))
-                if declared_lang
-                else F.col("_s.q.lang")
-            ).alias("_lang"),
-            doc_fingerprint(F.col(text_col)).alias("fingerprint"),
-        )
-    )
-    first_gate = (
-        F.when(F.col("_nc") < min_chars, F.lit("too_short"))
-        .when(F.col("_nt") < min_tokens, F.lit("too_few_tokens"))
-        .when(F.col("_pr") > max_punct_ratio, F.lit("too_much_punct"))
-        .when(F.col("_sr") < min_stopword_ratio, F.lit("no_stopwords"))
-        # Gopher-style repetition rule: one token owning more than
-        # max_word_freq_ratio of the doc marks boilerplate/spam
-        .when(F.col("_rr") > max_word_freq_ratio, F.lit("too_repetitive"))
-        .when(~F.col("_lang").isin(list(keep_langs)), F.lit("wrong_language"))
-    )
-    gated = staged.withColumn("_gate", first_gate)
+    gated = curation_gates(
+        docs,
+        text_col=text_col,
+        lang_col=lang_col,
+        keep_langs=keep_langs,
+        min_chars=min_chars,
+        min_tokens=min_tokens,
+        max_punct_ratio=max_punct_ratio,
+        min_stopword_ratio=min_stopword_ratio,
+        max_word_freq_ratio=max_word_freq_ratio,
+    ).select(id_col, "fingerprint", F.col("curation_gate").alias("_gate"))
     # dedup among gate survivors only: representative = min id per fingerprint
     survivors = gated.where(F.col("_gate").isNull())
     reps = survivors.groupBy("fingerprint").agg(
