@@ -1,0 +1,113 @@
+"""Training-corpus curation entry point (spark-submit --py-files).
+
+    spark-submit --master <cluster> \
+        --py-files dist/bcms.zip \
+        examples/curate_corpus_job.py \
+        --docs s3://crawl/docs/ \
+        --out s3://corpora/curated/ \
+        [--benchmark s3://evals/docs/] [--ngram 13] \
+        [--lsh-threshold 0.5] [--keep-langs en] [--report]
+
+The full pre-training data funnel, composed from the engine's operators:
+
+1. quality/repetition/language gates + exact dedup (`pipeline.curation`);
+2. near-duplicate CLUSTER removal — MinHash-LSH candidates, exact-Jaccard
+   verify, connected components, keep the representative
+   (`operators.dedup.dedup_clusters`);
+3. optional benchmark decontamination — the exact 13-gram collision rule
+   (`operators.dedup.decontaminate_exact`);
+4. write the curated corpus partitioned by a stable id-hash bucket, plus a
+   one-row-per-stage funnel report.
+
+Every stage is declarative DataFrame work: gates are codegen expressions,
+dedup shuffles integer shingle hashes, decontamination broadcasts the
+benchmark n-gram set — the same plan shapes PLANS.md audits at sf0.1 hold
+on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="parquet dir: doc_id, text, lang?")
+    ap.add_argument("--out", required=True, help="output dir for the curated corpus")
+    ap.add_argument("--benchmark", default=None, help="parquet dir of eval docs")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--keep-langs", default="en")
+    ap.add_argument("--ngram", type=int, default=13)
+    ap.add_argument("--lsh-threshold", type=float, default=0.5)
+    ap.add_argument("--n-buckets", type=int, default=256)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.operators.dedup import (
+        decontaminate_exact,
+        dedup_clusters,
+    )
+    from biocurator_mapper_spark.pipeline.curation import curate, curation_funnel
+
+    spark = SparkSession.builder.appName("bcms-curate").getOrCreate()
+    docs = spark.read.parquet(args.docs)
+    id_col, text_col = args.id_col, args.text_col
+
+    # 1. gates + exact dedup (one stage label per doc)
+    staged = curate(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        keep_langs=tuple(args.keep_langs.split(",")),
+    )
+    funnel = [(r.curation_stage, r.n_docs) for r in curation_funnel(staged).collect()]
+    kept_ids = staged.where(F.col("curation_stage") == "kept").select(id_col)
+    kept = docs.join(kept_ids, id_col, "left_semi")
+    n_after_gates = kept.count()
+
+    # 2. near-dup cluster removal (LSH candidates, exact verify, CC)
+    clusters = dedup_clusters(
+        kept, id_col, text_col, threshold=args.lsh_threshold
+    )
+    reps = clusters.where(~F.col("is_duplicate")).select(id_col)
+    kept = kept.join(reps, id_col, "left_semi")
+    n_after_neardup = kept.count()
+
+    # 3. optional exact-n-gram decontamination against the benchmark
+    n_after_decontam = n_after_neardup
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        kept = decontaminate_exact(kept, bench, id_col, text_col, n=args.ngram)
+        n_after_decontam = kept.count()
+
+    # 4. stable id-hash bucketing for downstream co-located reads
+    out = kept.withColumn(
+        "part_bucket",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(args.n_buckets)).cast(
+            "int"
+        ),
+    )
+    out.write.mode("overwrite").partitionBy("part_bucket").parquet(args.out)
+
+    print(
+        json.dumps(
+            {
+                "rows_in": docs.count(),
+                "funnel": dict(funnel),
+                "after_gates": n_after_gates,
+                "after_near_dup": n_after_neardup,
+                "after_decontamination": n_after_decontam,
+                "out": args.out,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
