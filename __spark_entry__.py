@@ -752,6 +752,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_planes=6, n_tables=6, seed=11,
         )
 
+    def emb_dedup_clusters(spark, sf_dir):
+        # semantic keep-one: CC closure over the (engine-exact) embedding
+        # near-dup pair set — the DuckDB oracle recurses the same closure
+        from biocurator_mapper_spark.operators.similarity import (
+            emb_dedup_clusters as _edc,
+        )
+
+        emb = _read(spark, sf_dir, "embeddings")
+        return _edc(
+            emb, "vec_id", "embedding", dim=64, threshold=0.4,
+            n_planes=6, n_tables=6, seed=11,
+        )
+
     def media_features_sha(spark, sf_dir):
         # multimodal plumbing under the driver gate: documents' text bytes
         # stand in for media blobs; the mapInPandas feature stage's
@@ -1033,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_co_mentions": kg_co_mentions,
         "kg_exact_degree": kg_exact_degree,
         "dedup_decontaminate_exact": dedup_decontaminate_exact,
+        "emb_dedup_clusters": emb_dedup_clusters,
         "j7_canonical_mapping": j7_canonical_mapping,
         "kg_mention_recall": kg_mention_recall,
         "text_lang_id": text_lang_id,
@@ -1490,9 +1504,23 @@ def _emb_near_dup_sql(
 ) -> str:
     """SQL mirror of operators/similarity.py::embedding_cosine_pairs: the
     LSH-bucketed SELF-join (id_a < id_b) + exact cosine verification."""
+    return (
+        f"WITH {_emb_near_dup_ctes(dim, threshold, n_planes, n_tables, seed)} "
+        "SELECT id_a, id_b, cosine FROM emb_pairs"
+    )
+
+
+def _emb_near_dup_ctes(
+    dim: int = 64,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 6,
+    seed: int = 11,
+) -> str:
+    """CTE body ending in ``emb_pairs(id_a, id_b, cosine)`` — shared by the
+    embedding near-dup pair oracle and the semantic-cluster oracle."""
     vals, sig = _lsh_planes_sql(dim, n_planes, n_tables, seed)
-    return f"""
-WITH planes(t, p, s) AS (VALUES
+    return f"""planes(t, p, s) AS (VALUES
   {vals}
 ),
 v AS (SELECT vec_id AS _id, embedding AS e, {_QUANT_SQL} AS q FROM embeddings),
@@ -1506,8 +1534,8 @@ scored AS (
   FROM cand
   JOIN v va ON va._id = cand.id_a
   JOIN v vb ON vb._id = cand.id_b
-)
-SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+),
+emb_pairs AS (SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold})
 """
 
 
@@ -2007,6 +2035,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _SIMHASH_PAIRS_SQL,
         "emb_near_dup_pairs": _emb_near_dup_sql(),
+        "emb_dedup_clusters": f"""
+            -- closure over the engine-exact embedding near-dup pair set
+            WITH RECURSIVE {_emb_near_dup_ctes(64, 0.4, 6, 6, 11)},
+            bi AS (SELECT id_a AS a, id_b AS b FROM emb_pairs
+                   UNION SELECT id_b, id_a FROM emb_pairs),
+            reach(node, m) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT bi.a, r.m FROM reach r JOIN bi ON bi.b = r.node
+            ),
+            rep AS (SELECT node AS vec_id, min(m) AS representative_id
+                    FROM reach GROUP BY node)
+            SELECT e.vec_id, rep.representative_id,
+                   e.vec_id <> rep.representative_id AS is_duplicate
+            FROM embeddings e LEFT JOIN rep ON rep.vec_id = e.vec_id
+        """,
         "sim_ann_lsh_topk": _lsh_topk_sql(),
         "sim_ann_ivf_topk": _ivf_topk_sql(),
         "text_token_count": """

@@ -165,6 +165,49 @@ def connected_components(
     )
 
 
+def clusters_from_pairs(
+    base: "DataFrame", pairs: "DataFrame", id_col: str
+) -> "DataFrame":
+    """(id, representative_id, is_duplicate) for every row of ``base``,
+    given near-duplicate ``pairs(id_a, id_b)`` — connected components over
+    the pair graph, every node mapped to its component minimum, unpaired
+    rows mapping to themselves. The shared keep-one tail of
+    ``dedup_clusters`` (text MinHash pairs) and ``emb_dedup_clusters``
+    (embedding cosine pairs).
+
+    NOT a pure plan builder (connected components iterates). Integer ids
+    must be non-negative: representatives are chosen via order-preserving
+    zero-padding, and negative values would compare wrongly as strings."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegralType
+
+    pairs = pairs.cache()  # CC consumes the pairs 2-3×
+    id_type = base.schema[id_col].dataType
+    if isinstance(id_type, IntegralType):
+        pad = lambda c: F.format_string("%020d", c)  # noqa: E731
+    else:
+        pad = lambda c: c.cast("string")  # noqa: E731
+    cc = connected_components(
+        pairs.select(pad(F.col("id_a")).alias("src"), pad(F.col("id_b")).alias("dst"))
+    ).localCheckpoint(eager=True)  # node-sized; lets the pairs cache go
+    pairs.unpersist()
+    mapped = cc.select(
+        F.col("node").cast(id_type).alias(id_col),
+        F.col("component").cast(id_type).alias("representative_id"),
+    )
+    return (
+        base.select(id_col)
+        .join(mapped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("representative_id"), F.col(id_col)).alias(
+                "representative_id"
+            ),
+        )
+        .withColumn("is_duplicate", F.col(id_col) != F.col("representative_id"))
+    )
+
+
 def canonical_mapping(
     terms: DataFrame,
     id_col: str = "term_id",

@@ -499,40 +499,13 @@ def dedup_clusters(
     chosen by order-preserving zero-padding; negative values would compare
     wrongly).
     """
-    from pyspark.sql.types import IntegralType
-
-    from .canonicalize import connected_components
+    from .canonicalize import clusters_from_pairs
 
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
         threshold=threshold,
-    ).cache()  # CC consumes the pairs 2-3× (count + collect/iterations)
-    id_type = df.schema[id_col].dataType
-    if isinstance(id_type, IntegralType):
-        # CC compares node ids as strings — zero-pad non-negative integers
-        # so string order equals numeric order ("100" < "2" otherwise)
-        pad = lambda c: F.format_string("%020d", c)  # noqa: E731
-    else:
-        pad = lambda c: c.cast("string")  # noqa: E731
-    cc = connected_components(
-        pairs.select(pad(F.col("id_a")).alias("src"), pad(F.col("id_b")).alias("dst"))
-    ).localCheckpoint(eager=True)  # node-sized; lets the pairs cache go
-    pairs.unpersist()
-    mapped = cc.select(
-        F.col("node").cast(id_type).alias(id_col),
-        F.col("component").cast(id_type).alias("representative_id"),
     )
-    return (
-        df.select(id_col)
-        .join(mapped, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("representative_id"), F.col(id_col)).alias(
-                "representative_id"
-            ),
-        )
-        .withColumn("is_duplicate", F.col(id_col) != F.col("representative_id"))
-    )
+    return clusters_from_pairs(df, pairs, id_col)
 
 
 def ngram_frequencies(

@@ -358,3 +358,28 @@ def embedding_cosine_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def emb_dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    n_tables: int = 6,
+    seed: int = 11,
+) -> DataFrame:
+    """Semantic dedup keep-one: embedding-cosine near-dup pairs
+    (LSH-bucketed, exactly verified) → connected components → every row
+    mapped to its cluster representative (min id) with ``is_duplicate``.
+    The embedding-space twin of ``dedup.dedup_clusters`` — drop
+    non-representatives to deduplicate paraphrases/near-copies that share
+    no exact n-grams. NOT a pure plan builder (CC iterates)."""
+    from .canonicalize import clusters_from_pairs
+
+    pairs = embedding_cosine_pairs(
+        df, id_col, vec_col, dim,
+        threshold=threshold, n_planes=n_planes, n_tables=n_tables, seed=seed,
+    )
+    return clusters_from_pairs(df, pairs, id_col)

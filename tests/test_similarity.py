@@ -67,6 +67,51 @@ def test_embedding_cosine_pairs_planted_dup(spark):
     assert got[("a", "b")] > 0.999  # scaled copy → cosine 1
 
 
+def test_emb_dedup_clusters_matches_union_find(spark):
+    """Semantic keep-one: cluster assignment must equal a Python
+    union-find over the operator's own verified pair set — planted scaled
+    copies collapse to one representative, unrelated vectors keep
+    themselves."""
+    from biocurator_mapper_spark.operators.similarity import emb_dedup_clusters
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(DIM)
+    other = rng.standard_normal(DIM)
+    rows = [
+        ("a", [float(x) for x in base]),
+        ("b", [float(x) for x in base * 2.0]),
+        ("c", [float(x) for x in base * 0.5]),
+        ("x", [float(x) for x in other]),
+    ]
+    for i in range(16):
+        rows.append((f"r{i}", [float(x) for x in rng.standard_normal(DIM)]))
+    df = spark.createDataFrame(rows, "vid string, vec array<float>")
+    got = {
+        r.vid: (r.representative_id, r.is_duplicate)
+        for r in emb_dedup_clusters(df, "vid", "vec", DIM, threshold=0.99).collect()
+    }
+    assert len(got) == len(rows)
+    # a/b/c are scaled copies → one cluster, min-id representative 'a'
+    assert got["a"] == ("a", False)
+    assert got["b"] == ("a", True) and got["c"] == ("a", True)
+    # union-find oracle over the operator's own pairs
+    pairs = embedding_cosine_pairs(df, "vid", "vec", DIM, threshold=0.99).collect()
+    parent = {vid: vid for vid, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {vid: find(vid) for vid, _ in rows}
+    assert {v: rep for v, (rep, _) in got.items()} == want
+
+
 def test_ivf_topk_recall_vs_exact(spark, vec_data):
     from biocurator_mapper_spark.operators.similarity import ivf_topk
 
