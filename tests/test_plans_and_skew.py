@@ -144,6 +144,53 @@ def test_ivf_plan_has_no_global_sort(spark):
         ), e
 
 
+def test_dedup_family_plan_shapes_pinned(spark):
+    """The 100 TB-safe shapes of the dedup family, pinned on the EXECUTED
+    plans: no row-at-a-time Python anywhere, the hot-shingle valve and the
+    exact-decontamination benchmark side stay broadcast, and MinHash's
+    shared subtrees materialize once (ReusedExchange, not re-evaluation)."""
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.operators.dedup import (
+        exact_ngram_collisions,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def executed(df):
+        df.collect()
+        return (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+
+    mh = executed(minhash_lsh_pairs(docs, "doc_id", "text"))
+    assert "BatchEvalPython" not in mh and "ArrowEvalPython" not in mh
+    assert mh.count("ReusedExchange") >= 2, "signature/set subtrees must reuse"
+
+    ng = executed(ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5))
+    assert "BatchEvalPython" not in ng
+    assert "BroadcastExchange" in ng, "hot-shingle anti-join must broadcast"
+
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    dx = executed(exact_ngram_collisions(corpus, bench, "doc_id", "text", n=13))
+    assert "BroadcastExchange" in dx, "benchmark n-gram set must broadcast"
+    assert "BatchEvalPython" not in dx
+    # the corpus side must reach the semi-join without a corpus-wide
+    # hash shuffle: only round-robin split fixes are allowed before it
+    corpus_hash = [
+        l
+        for l in dx.splitlines()
+        if "Exchange hashpartitioning" in l and "doc_id" not in l
+    ]
+    assert not [l for l in corpus_hash if "h#" not in l], corpus_hash
+
+
 def test_kg_triples_plan_shape_pinned(spark, terms):
     """The flagship plan's scale guarantees, pinned: one corpus scan-side
     MapInPandas (fused extract+scan+embed), ZERO ArrowEvalPython (no
