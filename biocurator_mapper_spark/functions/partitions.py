@@ -35,6 +35,23 @@ def _conf_bytes(spark, key: str, default: int) -> int:
         return default
 
 
+_NARROW_NODES = frozenset({"Project", "Filter", "Relation", "SubqueryAlias", "View"})
+
+
+def _is_narrow_over_scan(df: DataFrame) -> bool:
+    """True when the ANALYZED plan is only Project/Filter over one file
+    relation — the shapes whose partitioning equals the scan's splits."""
+    try:
+        tree = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — connect mode etc.
+        return False
+    for line in tree.splitlines():
+        node = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
+        if node and node not in _NARROW_NODES:
+            return False
+    return True
+
+
 def estimated_source_partitions(df: DataFrame) -> int:
     """Partition count of ``df``'s scan, estimated driver-side when cheap.
 
@@ -46,6 +63,16 @@ def estimated_source_partitions(df: DataFrame) -> int:
     for non-file sources, non-local URIs, or unreadable files.
     """
     spark = df.sparkSession
+    # the file estimate describes the SCAN — it is only the DataFrame's
+    # partition count when every operator above the scan is narrow and
+    # partitioning-preserving (Project/Filter). A repartition, join,
+    # aggregate or generate in between changes the partitioning, and
+    # treating e.g. an explicitly pre-repartitioned corpus as "one split"
+    # would re-shuffle the whole (possibly huge) relation. Measured: that
+    # exact mistake shuffled a 24 GB synthetic corpus and doubled a
+    # 12M-page run.
+    if not _is_narrow_over_scan(df):
+        return df.rdd.getNumPartitions()
     try:
         files = df.inputFiles()
     except Exception:  # noqa: BLE001 — e.g. streaming relations

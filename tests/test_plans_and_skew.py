@@ -33,6 +33,17 @@ def test_estimated_source_partitions_decision_parity(spark):
     # non-file sources fall back to the RDD probe exactly
     rng = spark.range(100).select(F.col("id"))
     assert estimated_source_partitions(rng) == rng.rdd.getNumPartitions()
+    # anything that CHANGES partitioning (repartition, explode, join)
+    # must use ground truth — the scan-level estimate would call a
+    # pre-repartitioned corpus "one split" and trigger a full re-shuffle
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = df.repartition(24)
+    assert estimated_source_partitions(rep) == 24
+    exploded = df.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    assert (
+        estimated_source_partitions(exploded)
+        == exploded.rdd.getNumPartitions()
+    )
 
 from pyspark.sql import functions as F
 
