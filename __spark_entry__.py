@@ -647,27 +647,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
         )
 
-    def dedup_minhash_lsh(spark, sf_dir):
-        return minhash_lsh_pairs(
-            _docs(spark, sf_dir), "doc_id", "text", n=3, num_hashes=16, bands=4,
-            threshold=0.5,
+    def _mh_pairs(spark, sf_dir):
+        # the within-corpus LSH pair relation, shared (memo + persist) by
+        # dedup_minhash_lsh AND dedup_clusters — clusters is exactly the
+        # CC closure over this same pair set
+        return _memo_df(
+            spark,
+            ("mh_pairs", sf_dir),
+            lambda: minhash_lsh_pairs(
+                _docs(spark, sf_dir), "doc_id", "text", n=3, num_hashes=16,
+                bands=4, threshold=0.5,
+            ).persist(),
         )
 
-    def dedup_clusters(spark, sf_dir):
-        from biocurator_mapper_spark.operators.dedup import dedup_clusters as _dc
+    def dedup_minhash_lsh(spark, sf_dir):
+        return _mh_pairs(spark, sf_dir)
 
-        return _dc(_docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5)
+    def dedup_clusters(spark, sf_dir):
+        from biocurator_mapper_spark.operators.canonicalize import (
+            clusters_from_pairs,
+        )
+
+        return clusters_from_pairs(
+            _docs(spark, sf_dir), _mh_pairs(spark, sf_dir), "doc_id"
+        )
+
+    def _cross_pairs(spark, sf_dir):
+        # cross-corpus LSH pair relation, shared by dedup_cross_pairs AND
+        # dedup_decontaminate (decontaminate = anti-join on these pairs)
+        from biocurator_mapper_spark.operators.dedup import cross_minhash_pairs
+
+        def _build():
+            d = _docs(spark, sf_dir)
+            return cross_minhash_pairs(
+                d.where(F.col("doc_id") % 20 != 0),
+                d.where(F.col("doc_id") % 20 == 0),
+                "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5,
+            ).persist()
+
+        return _memo_df(spark, ("cross_pairs", sf_dir), _build)
 
     def dedup_cross_pairs(spark, sf_dir):
         # train/eval decontamination primitive: cross-corpus LSH pairs
-        from biocurator_mapper_spark.operators.dedup import cross_minhash_pairs
-
-        d = _docs(spark, sf_dir)
-        return cross_minhash_pairs(
-            d.where(F.col("doc_id") % 20 != 0),
-            d.where(F.col("doc_id") % 20 == 0),
-            "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5,
-        )
+        return _cross_pairs(spark, sf_dir)
 
     def dedup_decontaminate_exact(spark, sf_dir):
         # GPT-3/PaLM-style exact 13-gram collision rule: a corpus doc is
@@ -682,14 +704,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "source")
 
     def dedup_decontaminate(spark, sf_dir):
-        from biocurator_mapper_spark.operators.dedup import decontaminate
-
-        d = _docs(spark, sf_dir)
-        return decontaminate(
-            d.where(F.col("doc_id") % 20 != 0).select("doc_id", "source", "text"),
-            d.where(F.col("doc_id") % 20 == 0),
-            "doc_id", "text", threshold=0.5,
-        ).select("doc_id", "source")
+        # decontaminate == corpus anti-join on the (shared) cross-pair
+        # relation — same wiring as operators.dedup.decontaminate, reusing
+        # the pair plan dedup_cross_pairs already materialized
+        corpus = _docs(spark, sf_dir).where(F.col("doc_id") % 20 != 0)
+        contaminated = (
+            _cross_pairs(spark, sf_dir)
+            .select(F.col("corpus_id").alias("doc_id"))
+            .distinct()
+        )
+        return corpus.join(contaminated, "doc_id", "left_anti").select(
+            "doc_id", "source"
+        )
 
     def text_ngram_freq(spark, sf_dir):
         from biocurator_mapper_spark.operators.dedup import ngram_frequencies
