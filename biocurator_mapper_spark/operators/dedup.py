@@ -104,10 +104,14 @@ def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> D
     triggers InferFiltersFromGenerate, whose size() > 0 filter re-evaluates
     the whole shingle HOF chain per row (alias substitution pushes it below
     the projection). Shingle-less docs become one null row, dropped here.
-    An under-partitioned source (one small parquet split) would evaluate
-    the shingle HOFs single-threaded — one round-robin shuffle of the
-    exploded rows buys full parallelism, and its materialized map side is
-    stage-skipped for every later consumer of the same subtree.
+
+    Under-partitioned sources (one small parquet split) get TWO round-robin
+    exchanges: the raw docs spread first so tokenize/shingle/md5 run on
+    every core, and the hashed rows (one long per row) re-spread after so
+    every consumer subtree reads one materialized evaluation via stage
+    skipping. Well-partitioned 100 TB inputs skip both — consumers then
+    re-evaluate the chain in parallel rather than shuffle corpus-scale
+    shingle rows.
     """
     from ..functions.partitions import estimated_source_partitions
 

@@ -210,10 +210,14 @@ def _rerank_exprs(k: int):
     """
     from pyspark import SparkContext
 
-    key = (id(SparkContext._gateway), k)
+    gw = SparkContext._gateway
+    key = (id(gw), k)
     cached = _RERANK_CACHE.get(key)
-    if cached is not None:
-        return cached
+    # the gateway ref rides in the entry: identity (not just id()) must
+    # match, or a relaunched JVM reusing the address would serve stale
+    # Java expression objects
+    if cached is not None and cached[0] is gw:
+        return cached[1]
     cl = F.col("_cl")
     term_ids = F.array_distinct(F.transform(cl, lambda x: x["term_id"]))
     per_term = F.transform(
@@ -277,7 +281,7 @@ def _rerank_exprs(k: int):
         )
     )
     winner = F.try_element_at(ranked, F.lit(1))
-    _RERANK_CACHE[key] = (ranked, winner)
+    _RERANK_CACHE[key] = (gw, (ranked, winner))
     return ranked, winner
 
 
@@ -291,10 +295,11 @@ def _output_exprs(k: int, pred_suffix: str, n_buckets: int):
     expressions materialized once per row — see CLAUDE.md)."""
     from pyspark import SparkContext
 
-    key = (id(SparkContext._gateway), k, pred_suffix, n_buckets)
+    gw = SparkContext._gateway
+    key = (id(gw), k, pred_suffix, n_buckets)
     cached = _OUTPUT_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] is gw:
+        return cached[1]
     w = F.col("_w")
     fanout = [
         F.col("url"),
@@ -346,7 +351,7 @@ def _output_exprs(k: int, pred_suffix: str, n_buckets: int):
         F.to_date("warc_ts").alias("part_date"),
         F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int").alias("part_bucket"),
     ]
-    _OUTPUT_CACHE[key] = (fanout, triples)
+    _OUTPUT_CACHE[key] = (gw, (fanout, triples))
     return fanout, triples
 
 

@@ -15,6 +15,14 @@ guarantees are provided at the interface level over parquet directories:
 
 Swapping this class for an Iceberg catalog changes no pipeline code: only
 ``write_replace/read/append`` call sites.
+
+Writer model: ONE writer per table at a time (the reference's
+config-updater model — readers are lock-free against the pointer, writers
+are the pipeline's own sequential stages). Concurrent ``merge_upsert`` /
+``compact_table`` calls on the same table would race the pointer commit
+(last flip wins, the loser's rows vanish); production concurrency is
+exactly what Iceberg's optimistic commit protocol adds on top of this
+interface.
 """
 
 from __future__ import annotations
