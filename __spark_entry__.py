@@ -190,12 +190,16 @@ def _vocab_terms(spark: SparkSession) -> DataFrame:
 
 
 def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
-        (F.lit("2026-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("doc_id"))).alias("warc_ts"),
-        F.lit(None).cast("binary").alias("html"),
-        F.col("text"),
-        F.col("lang"),
+    # one selectExpr = one py4j round trip for the whole projection (the
+    # Column-API formulation cost ~170 — plan-construction time is the
+    # dominant per-query cost at contract scale, see BENCH.md)
+    return _docs(spark, sf_dir).selectExpr(
+        "concat('doc://', doc_id) AS url",
+        "cast('2026-01-01 00:00:00' AS timestamp)"
+        " + make_interval(0, 0, 0, 0, 0, 0, doc_id) AS warc_ts",
+        "cast(null AS binary) AS html",
+        "text",
+        "lang",
     )
 
 
