@@ -78,6 +78,30 @@ def test_resolve_distributed_path_parity_and_limit_pushdown(spark, terms):
         assert "TakeOrderedAndProject" in plan, plan[:500]
 
 
+def test_resolve_distributed_with_llm_rerank(spark, terms):
+    """The LLM rerank layer must work unchanged on the distributed
+    candidate path — candidates carry every prompt field (definition,
+    synonyms, namespace) through the Spark job."""
+    import re
+
+    def chat_pick_other(prompt):
+        ids = re.findall(r"\((\w+:\d+)\)", prompt)
+        target = ids[1] if len(ids) > 1 else ids[0]
+        return (
+            f'{{"id": "{target}", "name": "x", "confidence": 0.9, '
+            f'"reason": "llm override"}}'
+        )
+
+    passage = "apoptosis of T cells in culture"
+    dist = Resolver(terms, k=3, chat_provider=chat_pick_other, max_driver_terms=5)
+    assert dist.distributed
+    out = dist.resolve(passage)
+    base = Resolver(terms, k=3, max_driver_terms=5).resolve(passage)
+    assert out["reason"] == "llm override" and out["confidence"] == 0.9
+    assert out["best_match"]["id"] != base["best_match"]["id"]
+    assert out["best_match"]["id"] in {a["id"] for a in base["alternatives"]}
+
+
 def test_resolve_empty_ontology_errors(spark, terms):
     empty = terms.where("term_id = 'nope'")
     r = Resolver(empty)

@@ -330,6 +330,23 @@ def test_compact_table_rewrites_and_unblocks_vacuum(spark, tmp_path):
     assert {r.term_id: (r.name, r.rev) for r in cat.read("terms").collect()} == before
 
 
+def test_compact_table_non_bucketed(spark, tmp_path):
+    """Compaction of a plain write_replace table (no part_bucket column)
+    rewrites content-identically without inventing partitioning."""
+    import os
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k long, v string"
+    )
+    cat.write_replace(df, "plain")
+    v = cat.compact_table("plain")
+    got = {r.k: r.v for r in cat.read("plain").collect()}
+    assert got == {i: f"v{i}" for i in range(50)}
+    vdir = os.path.join(cat._table_dir("plain"), v)
+    assert not any(n.startswith("part_bucket=") for n in os.listdir(vdir))
+
+
 def test_merge_log_commit_stats(spark, tmp_path):
     """Each merge appends one commit-summary row (Iceberg snapshot-summary
     analog): source rows, kept rows in rewritten buckets, bucket count."""
