@@ -695,6 +695,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # train/eval decontamination primitive: cross-corpus LSH pairs
         return _cross_pairs(spark, sf_dir)
 
+    def text_lm_score(spark, sf_dir):
+        # CCNet-style char-LM quality signal: mean quantized conditional
+        # trigram probability under a model trained on the corpus itself
+        from biocurator_mapper_spark.operators.lm_quality import lm_quality_score
+
+        return lm_quality_score(_docs(spark, sf_dir), "doc_id", "text")
+
     def dedup_decontaminate_exact(spark, sf_dir):
         # GPT-3/PaLM-style exact 13-gram collision rule: a corpus doc is
         # contaminated if ANY word 13-gram also occurs in a benchmark doc
@@ -1077,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_exact_degree": kg_exact_degree,
         "dedup_decontaminate_exact": dedup_decontaminate_exact,
         "emb_dedup_clusters": emb_dedup_clusters,
+        "text_lm_score": text_lm_score,
         "j7_canonical_mapping": j7_canonical_mapping,
         "kg_mention_recall": kg_mention_recall,
         "text_lang_id": text_lang_id,
@@ -2019,6 +2027,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE {_CORPUS_COND}
               AND doc_id NOT IN (SELECT corpus_id FROM cross_pairs)
+        """,
+        "text_lm_score": """
+            -- mirrors operators/lm_quality.py: trigram MLE model over the
+            -- corpus, per-doc mean of integer-quantized P(c3|c1c2)
+            WITH t AS (
+              SELECT doc_id,
+                     ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' ' AS s
+              FROM documents
+            ),
+            tris AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(s) >= 3
+                            THEN list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))
+                            ELSE [] END) AS trigram
+              FROM t
+            ),
+            model AS (SELECT trigram, count(*)::BIGINT AS tri_n FROM tris GROUP BY trigram),
+            ctx AS (SELECT substr(trigram, 1, 2) AS c, sum(tri_n)::BIGINT AS ctx_n
+                    FROM model GROUP BY 1),
+            m2 AS (SELECT trigram, tri_n, ctx_n
+                   FROM model JOIN ctx ON substr(model.trigram, 1, 2) = ctx.c),
+            scored AS (
+              SELECT tris.doc_id,
+                     floor(tri_n::DOUBLE / (ctx_n + 37) * 1000000.0 + 0.5)::BIGINT AS q
+              FROM tris JOIN m2 USING (trigram)
+            ),
+            per_doc AS (SELECT doc_id, count(*) AS n, sum(q) AS sq FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n, 0)::BIGINT AS n_trigrams,
+                   CASE WHEN coalesce(p.n, 0) > 0
+                        THEN p.sq::DOUBLE / (p.n::DOUBLE * 1000000.0)
+                        ELSE 0.0 END AS lm_score
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         "dedup_decontaminate_exact": f"""
             -- exact 13-gram collision rule (GPT-3/PaLM decontamination):

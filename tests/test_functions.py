@@ -100,6 +100,40 @@ def test_media_features_deterministic_and_content_sensitive(spark):
     assert out[4].feature == [0.0] * 64  # null blob degrades
 
 
+def test_lm_quality_score_ranks_language_over_noise(spark):
+    """The char-LM signal must rank natural prose above line-noise when
+    the model is trained on a prose-dominated corpus, score empty docs 0,
+    and stay within [0, 1]."""
+    from biocurator_mapper_spark.operators.lm_quality import (
+        lm_quality_score,
+        train_char_lm,
+    )
+
+    prose = [
+        (i, f"the quick brown fox jumps over the lazy dog near the river bank {i}")
+        for i in range(20)
+    ]
+    rows = prose + [
+        (100, "xq zvkj qqwz jxv kqzx wvjq zzxq kjvw"),  # line noise
+        (101, ""),  # empty
+        (102, None),  # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in lm_quality_score(df, "doc_id", "text").collect()}
+    assert len(got) == len(rows)  # every doc scored, even unscorable ones
+    assert got[101].lm_score == 0.0 and got[101].n_trigrams == 0
+    assert got[102].lm_score == 0.0 and got[102].n_trigrams == 0
+    assert all(0.0 <= r.lm_score <= 1.0 for r in got.values())
+    assert got[0].lm_score > got[100].lm_score * 2  # prose ≫ noise
+    # an external model works the same way (train/score separation)
+    model = train_char_lm(df.where(F.col("doc_id") < 20), "text")
+    ext = {
+        r.doc_id: r.lm_score
+        for r in lm_quality_score(df, "doc_id", "text", model=model).collect()
+    }
+    assert ext[0] > ext[100]
+
+
 def test_real_decoder_registry_gated_on_pil(spark):
     """The 'real' registry slot resolves to a PIL decoder when PIL is
     importable, else to the documented NotImplementedError stub — tests
