@@ -93,10 +93,18 @@ def curate(
     max_punct_ratio: float = 0.2,
     min_stopword_ratio: float = 0.01,
     max_word_freq_ratio: float = 0.5,
+    min_lm_score: float | None = None,
+    lm_model: DataFrame | None = None,
 ) -> DataFrame:
     """docs → kept docs with a ``curation_stage`` column marking survivors
     ('kept') and the first gate each rejected doc failed — one relation
-    carries both the output corpus and the funnel report."""
+    carries both the output corpus and the funnel report.
+
+    ``min_lm_score`` adds the char-LM quality gate (stage
+    ``low_lm_score``) AFTER the stateless gates: docs below the threshold
+    under ``lm_model`` (or a model trained on ``docs`` itself when None —
+    note that adds a corpus-level aggregate pass) are rejected before
+    dedup."""
     gated = curation_gates(
         docs,
         text_col=text_col,
@@ -108,6 +116,23 @@ def curate(
         min_stopword_ratio=min_stopword_ratio,
         max_word_freq_ratio=max_word_freq_ratio,
     ).select(id_col, "fingerprint", F.col("curation_gate").alias("_gate"))
+    if min_lm_score is not None:
+        from ..operators.lm_quality import lm_quality_score
+
+        lm = lm_quality_score(docs, id_col, text_col, model=lm_model).select(
+            id_col, "lm_score"
+        )
+        gated = gated.join(lm, id_col, "left").select(
+            id_col,
+            "fingerprint",
+            F.coalesce(
+                F.col("_gate"),
+                F.when(
+                    F.coalesce(F.col("lm_score"), F.lit(0.0)) < min_lm_score,
+                    F.lit("low_lm_score"),
+                ),
+            ).alias("_gate"),
+        )
     # dedup among gate survivors only: representative = min id per fingerprint
     survivors = gated.where(F.col("_gate").isNull())
     reps = survivors.groupBy("fingerprint").agg(

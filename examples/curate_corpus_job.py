@@ -41,6 +41,8 @@ def main() -> int:
     ap.add_argument("--keep-langs", default="en")
     ap.add_argument("--ngram", type=int, default=13)
     ap.add_argument("--lsh-threshold", type=float, default=0.5)
+    ap.add_argument("--min-lm-score", type=float, default=None,
+                    help="optional char-LM quality gate threshold")
     ap.add_argument("--n-buckets", type=int, default=256)
     args = ap.parse_args()
 
@@ -63,6 +65,7 @@ def main() -> int:
         id_col=id_col,
         text_col=text_col,
         keep_langs=tuple(args.keep_langs.split(",")),
+        min_lm_score=args.min_lm_score,
     )
     funnel = [(r.curation_stage, r.n_docs) for r in curation_funnel(staged).collect()]
     kept_ids = staged.where(F.col("curation_stage") == "kept").select(id_col)

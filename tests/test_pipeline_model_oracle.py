@@ -214,3 +214,42 @@ def test_curation_repetition_gate(spark):
     got = {r.doc_id: r.curation_stage for r in curate(docs).collect()}
     assert got[1] == "kept"
     assert got[2] == "too_repetitive"
+
+
+def test_curation_lm_gate(spark):
+    """min_lm_score adds the char-LM gate AFTER the stateless gates: under
+    a prose-trained external model, line noise that passes every heuristic
+    gate is rejected as low_lm_score; prose survives; default (None) is
+    unchanged."""
+    from biocurator_mapper_spark.operators.lm_quality import train_char_lm
+    from biocurator_mapper_spark.pipeline.curation import curate
+
+    prose = (
+        "the quick brown fox jumps over a lazy dog and then walks into the "
+        "house where it sits by the fire for a while resting its paws"
+    )
+    # gibberish long enough to pass min_chars/min_tokens, with a couple of
+    # stopwords so the stopword-ratio gate passes too
+    noise = "the " + " ".join(
+        f"xq{i}zvkj qwz{i}jxv" for i in range(12)
+    ) + " and some xkcd zq"
+    docs = spark.createDataFrame(
+        [(1, prose, "en"), (2, noise, "en")],
+        "doc_id long, text string, lang string",
+    )
+    # enough training mass that smoothing (+37 per context) stops dominating
+    # real contexts: prose then scores ~0.5, the noise ~0.02
+    model = train_char_lm(
+        spark.createDataFrame(
+            [(i, prose) for i in range(50)], "doc_id long, text string"
+        ),
+        "text",
+    )
+    base = {r.doc_id: r.curation_stage for r in curate(docs).collect()}
+    assert base[1] == "kept" and base[2] == "kept"  # heuristics miss it
+    got = {
+        r.doc_id: r.curation_stage
+        for r in curate(docs, min_lm_score=0.2, lm_model=model).collect()
+    }
+    assert got[1] == "kept"
+    assert got[2] == "low_lm_score"
