@@ -47,10 +47,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Plan memo for the correctness pass: several contract queries share one
 # expensive LOGICAL PLAN (the kg pipeline's fused scan + rerank aggregate
 # costs seconds of py4j/Catalyst work to CONSTRUCT, before any data moves).
-# Sharing the DataFrame object dedups that compile cost — results are
-# unchanged (plans are deterministic and nothing is persisted, so every
-# action still recomputes honestly). bench.py sets SPARK_GRAFT_QUERY_MEMO=0
-# so its min-of-2 estimator times full fresh-plan passes.
+# Sharing the DataFrame object dedups that compile cost, and small shared
+# relations additionally persist so their later consumers read the
+# materialized cache — results are unchanged (plans are deterministic).
+# bench.py sets SPARK_GRAFT_QUERY_MEMO=0 so its min-of-2 estimator times
+# full fresh-plan, fresh-compute passes (on that path nothing is EVER
+# persisted — Spark's CacheManager would otherwise serve the cached
+# relation to any later equivalent plan).
 _MEMO: dict = {}
 
 
@@ -78,7 +81,7 @@ def _memo_df(
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Memoized parquet scan: 62 contract queries × a footer/schema probe
+    """Memoized parquet scan: ~64 contract queries × a footer/schema probe
     per read adds seconds of pure constant overhead to the driver's
     correctness pass; one shared scan relation per (session, table) is
     result-identical (and bench disables the memo)."""
