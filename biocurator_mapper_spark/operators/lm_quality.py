@@ -75,6 +75,46 @@ def train_char_lm(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def score_with_model(
+    df: DataFrame, text_col: str, model: DataFrame
+) -> DataFrame:
+    """df + (n_trigrams, lm_score) columns — the STATELESS per-row scorer
+    (no shuffle, no aggregate state): the dimension-sized model collects
+    driver-side once and rides the closure of one Arrow-batched pandas UDF,
+    so the same gate drops into a streaming plan (streaming_curate) or any
+    narrow batch stage. Scores are bit-identical to ``lm_quality_score``
+    (same quantized-integer arithmetic, float64 either way)."""
+    import re
+
+    import pandas as pd
+
+    probs = {
+        r.trigram: int(r.tri_n / (r.ctx_n + LM_VOCAB) * LM_QUANT + 0.5)
+        for r in model.collect()
+    }
+    splitter = re.compile(r"[^a-z0-9]+")
+
+    # no type hints: the Series → DataFrame (struct-returning scalar) shape
+    # must be declared via returnType alone — the hint checker rejects it
+    def _score(texts):
+        ns, scores = [], []
+        for t in texts:
+            s = " " + splitter.sub(" ", (t or "").lower()).strip() + " "
+            n = len(s) - 2
+            if n <= 0:
+                ns.append(0)
+                scores.append(0.0)
+                continue
+            total = sum(probs.get(s[i : i + 3], 0) for i in range(n))
+            ns.append(n)
+            scores.append(total / (n * LM_QUANT))
+        return pd.DataFrame({"n_trigrams": ns, "lm_score": scores})
+
+    score_udf = F.pandas_udf(_score, "struct<n_trigrams: bigint, lm_score: double>")
+    out = df.withColumn("_lm", score_udf(F.col(text_col)))
+    return out.select(*df.columns, "_lm.n_trigrams", "_lm.lm_score")
+
+
 def lm_quality_score(
     docs: DataFrame,
     id_col: str,

@@ -29,16 +29,36 @@ def streaming_curate(
     ts_col: str = "warc_ts",
     watermark: str = "1 day",
     lang_col: str | None = "lang",
+    min_lm_score: float | None = None,
+    lm_model: DataFrame | None = None,
     **gate_kwargs,
 ) -> DataFrame:
     """stream → stream of pages that survive every gate AND are the first
     occurrence of their content fingerprint within the watermark horizon.
     Rejected rows are dropped; use :func:`streaming_curation_counts` (or
-    ``curation_gates`` directly) for the reject-side accounting."""
+    ``curation_gates`` directly) for the reject-side accounting.
+
+    ``min_lm_score`` + ``lm_model`` add the char-LM quality gate: the
+    PRE-TRAINED model (a static dimension-sized DataFrame) broadcast-joins
+    against the stream's trigrams — a stream-static join, fully
+    stream-compatible. Unlike the batch funnel the model cannot default to
+    self-training (that would aggregate the unbounded stream), so both
+    arguments are required together."""
     gated = curation_gates(
         pages_stream, text_col=text_col, lang_col=lang_col, **gate_kwargs
     )
     kept = gated.where(F.col("curation_gate").isNull()).drop("curation_gate")
+    if min_lm_score is not None:
+        if lm_model is None:
+            raise ValueError(
+                "streaming LM gating needs a pre-trained lm_model "
+                "(train_char_lm on a static reference corpus)"
+            )
+        from ..operators.lm_quality import score_with_model
+
+        kept = score_with_model(kept, text_col, lm_model).where(
+            F.col("lm_score") >= min_lm_score
+        ).drop("lm_score", "n_trigrams")
     return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )

@@ -132,6 +132,19 @@ def test_lm_quality_score_ranks_language_over_noise(spark):
         for r in lm_quality_score(df, "doc_id", "text", model=model).collect()
     }
     assert ext[0] > ext[100]
+    # the stateless per-row scorer (streaming path) is bit-identical to
+    # the aggregate formulation under the same model
+    from biocurator_mapper_spark.operators.lm_quality import score_with_model
+
+    per_row = {
+        r.doc_id: (r.n_trigrams, r.lm_score)
+        for r in score_with_model(df, "text", model).collect()
+    }
+    agg = {
+        r.doc_id: (r.n_trigrams, r.lm_score)
+        for r in lm_quality_score(df, "doc_id", "text", model=model).collect()
+    }
+    assert per_row == agg
 
 
 def test_real_decoder_registry_gated_on_pil(spark):

@@ -83,6 +83,54 @@ def test_streaming_curate_matches_batch_survivors(spark, tmp_path):
     assert "u://de" not in {r.url for r in got}
 
 
+def test_streaming_curate_lm_gate(spark, tmp_path):
+    """The char-LM gate on the stream: a pre-trained static model drops
+    noise pages the heuristic gates pass, keeps prose — and requiring the
+    model (no self-training on an unbounded stream) is enforced."""
+    import pytest
+
+    from biocurator_mapper_spark.operators.lm_quality import train_char_lm
+
+    landing = tmp_path / "in"
+    landing.mkdir()
+    rows, _ = _mixed_rows()
+    prose = rows[0][3]
+    noise_text = "the " + " ".join(f"xq{i}zvkj qwz{i}jxv" for i in range(12)) + " and so xz"
+    noise = [("u://noise", rows[0][1], None, noise_text, "en")]
+    _land_two_batches(spark, landing, rows[:12], rows[12:] + noise)
+    model = train_char_lm(
+        spark.createDataFrame(
+            [(i, prose) for i in range(50)], "doc_id long, text string"
+        ),
+        "text",
+    )
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing) + "/*")
+    )
+    q = (
+        streaming_curate(
+            stream,
+            watermark="2 days",
+            min_chars=40,
+            min_tokens=5,
+            min_lm_score=0.05,
+            lm_model=model,
+        )
+        .writeStream.format("memory")
+        .queryName("cur_lm_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    urls = {r.url for r in spark.sql("select url from cur_lm_t").collect()}
+    assert urls and "u://noise" not in urls
+    with pytest.raises(ValueError, match="pre-trained lm_model"):
+        streaming_curate(stream, min_lm_score=0.05)
+
+
 def test_streaming_curation_counts_match_batch_gates(spark, tmp_path):
     landing = tmp_path / "in"
     landing.mkdir()
