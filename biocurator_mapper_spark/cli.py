@@ -107,6 +107,37 @@ def cmd_triples(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-corpus funnel: gates (+ optional char-LM) → exact dedup →
+    optional near-dup cluster removal → curated parquet + funnel JSON."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import dedup_clusters
+    from .pipeline.curation import curate, curation_funnel
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs)
+    staged = curate(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        keep_langs=tuple(args.keep_langs.split(",")),
+        min_lm_score=args.min_lm_score,
+    )
+    funnel = {r.curation_stage: r.n_docs for r in curation_funnel(staged).collect()}
+    kept_ids = staged.where(F.col("curation_stage") == "kept").select(args.id_col)
+    kept = docs.join(kept_ids, args.id_col, "left_semi")
+    if args.near_dup:
+        reps = dedup_clusters(
+            kept, args.id_col, args.text_col, threshold=args.lsh_threshold
+        ).where(~F.col("is_duplicate")).select(args.id_col)
+        kept = kept.join(reps, args.id_col, "left_semi")
+    kept.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rows_in": docs.count(), "funnel": funnel,
+                      "rows_out": kept.count(), "out": args.out}))
+    return 0
+
+
 def cmd_status(args) -> int:
     from .sources.catalog import ParquetCatalog
     from pyspark.sql import functions as F
@@ -165,6 +196,17 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--fingerprint", default="manual")
     t.add_argument("--buckets", type=int, default=16)
     t.set_defaults(fn=cmd_triples)
+
+    c = sub.add_parser("curate", help="docs parquet → curated corpus + funnel")
+    c.add_argument("docs")
+    c.add_argument("--out", required=True)
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--keep-langs", default="en")
+    c.add_argument("--min-lm-score", type=float, default=None)
+    c.add_argument("--near-dup", action=argparse.BooleanOptionalAction, default=False)
+    c.add_argument("--lsh-threshold", type=float, default=0.5)
+    c.set_defaults(fn=cmd_curate)
 
     s = sub.add_parser("status", help="metrics / checkpoints / versions")
     s.set_defaults(fn=cmd_status)

@@ -108,6 +108,32 @@ def test_resolve_empty_ontology_errors(spark, terms):
     assert r.resolve("anything") == {"error": "No candidates provided"}
 
 
+def test_cli_curate(spark, tmp_path, monkeypatch):
+    """`bcms curate` runs the funnel end-to-end: curated parquet written,
+    funnel JSON on stdout, kept rows = batch curate survivors."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import biocurator_mapper_spark.cli as cli
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(cli, "_spark", lambda: spark)
+    src = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    out_dir = str(tmp_path / "curated")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(["curate", src, "--out", out_dir, "--near-dup"])
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["rows_in"] == 500 and rep["rows_out"] > 0
+    assert rep["funnel"].get("kept", 0) >= rep["rows_out"]
+    got = spark.read.parquet(out_dir)
+    assert got.count() == rep["rows_out"]
+    assert got.where(F.length("text") < 80).count() == 0  # gate applied
+
+
 def test_cli_ingest_resolve_status(spark, tmp_path, monkeypatch):
     # run CLI mains in-process against a temp warehouse (reusing the session)
     import biocurator_mapper_spark.cli as cli
