@@ -57,6 +57,30 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEMO: dict = {}
 
 
+def _session_stopped(spark: SparkSession) -> bool:
+    try:
+        return spark.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return True  # unreachable JVM/context == dead session
+
+
+def _evict_stale_memo(live: SparkSession) -> None:
+    """Drop memo entries belonging to STOPPED sessions: each entry pins its
+    SparkSession and persisted DataFrames, so a long-lived driver cycling
+    sessions would otherwise accumulate dead-session objects (and their
+    JVM-side cached plans) forever. One ``isStopped`` probe per distinct
+    dead-candidate session, only on the build path (cache hits never pay
+    py4j traffic — the memo exists to cut it)."""
+    other = {}
+    for k, (s, _) in _MEMO.items():
+        if s is not live:
+            other.setdefault(id(s), (s, []))[1].append(k)
+    for s, keys in other.values():
+        if _session_stopped(s):
+            for k in keys:
+                del _MEMO[k]
+
+
 def _memo_df(
     spark: SparkSession,
     key: tuple,
@@ -73,6 +97,7 @@ def _memo_df(
     k = (id(spark), key)
     ent = _MEMO.get(k)
     if ent is None or ent[0] is not spark:  # new session reusing an id
+        _evict_stale_memo(spark)
         df = build()
         if persist:
             df = df.persist()
@@ -1851,7 +1876,7 @@ def _curation_sql() -> str:
     return f"""
 WITH t AS (
   SELECT doc_id, text, lang,
-    length(text) AS nc,
+    coalesce(length(text), 0) AS nc,
     len(list_filter(string_split_regex(lower(text), '[^\\p{{L}}0-9'']+'), x -> x <> '')) AS nt,
     (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
       / greatest(length(text), 1)::DOUBLE AS pr,

@@ -181,7 +181,15 @@ def clusters_from_pairs(
     from pyspark.sql import functions as F
     from pyspark.sql.types import IntegralType
 
-    pairs = pairs.cache()  # CC consumes the pairs 2-3×
+    # CC consumes the pairs 2-3×, so raise the storage level — but only if
+    # the caller didn't already persist this relation: unconditionally
+    # unpersisting a SHARED cached input (e.g. the contract's memoized
+    # _mh_pairs, consumed again by dedup_minhash_lsh) would silently drop
+    # the caller's cache out from under its other consumers.
+    lvl = pairs.storageLevel
+    owns_cache = not (lvl.useMemory or lvl.useDisk)
+    if owns_cache:
+        pairs = pairs.cache()
     id_type = base.schema[id_col].dataType
     if isinstance(id_type, IntegralType):
         pad = lambda c: F.format_string("%020d", c)  # noqa: E731
@@ -190,7 +198,8 @@ def clusters_from_pairs(
     cc = connected_components(
         pairs.select(pad(F.col("id_a")).alias("src"), pad(F.col("id_b")).alias("dst"))
     ).localCheckpoint(eager=True)  # node-sized; lets the pairs cache go
-    pairs.unpersist()
+    if owns_cache:
+        pairs.unpersist()
     mapped = cc.select(
         F.col("node").cast(id_type).alias(id_col),
         F.col("component").cast(id_type).alias("representative_id"),

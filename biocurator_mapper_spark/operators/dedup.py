@@ -180,6 +180,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    size_prefilter: bool = True,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
 
@@ -191,6 +192,18 @@ def ngram_jaccard_pairs(
     Jaccard filter. Intersection counting is a hash aggregate with
     map-side partial combine. Prefer ``minhash_lsh_pairs`` when the corpus
     is large enough that even capped exact intersection counting is wide.
+
+    ``size_prefilter``: Jaccard ≥ t needs inter/union ≥ t, and since
+    inter ≤ min(|A|,|B|) and union ≥ max(|A|,|B|), min/max ≥ t is a
+    NECESSARY condition — so per-doc sizes broadcast onto both sides of the
+    shingle self-join let mismatched-size pairs die BEFORE the intersection
+    aggregate (the plan's one wide shuffle). The pruning is conservative
+    (t is a representable double and x ≥ t ⟹ fl(x) ≥ t, so no qualifying
+    pair is dropped); results are identical with it on or off (pinned in
+    tests). The broadcast side is one (id, size) long-pair per doc — fine
+    into the tens of millions of docs; past that pass False (the plan
+    reverts to post-aggregate filtering) or use ``minhash_lsh_pairs``,
+    which is the intended tier at that scale anyway.
     """
     # Hashed shingle rows (_id, h): the 60-bit integer hash replaces the
     # shingle string in every downstream shuffle/join — the self-join key,
@@ -210,18 +223,39 @@ def ngram_jaccard_pairs(
     # sets (pre-cap sizes would deflate scores and let identical docs with
     # many hub shingles escape the threshold)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    sizes_a = sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza")
+    sizes_b = sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb")
     a = sh.withColumnRenamed("_id", "id_a")
     b = sh.withColumnRenamed("_id", "id_b")
+    if size_prefilter:
+        # sizes ride along on the self-join inputs (broadcast hash probes,
+        # no extra shuffle) so the ratio test prunes pre-aggregate rows
+        a = a.join(F.broadcast(sizes_a), "id_a")
+        b = b.join(F.broadcast(sizes_b), "id_b")
+        pair_cond = (F.col("id_a") < F.col("id_b")) & (
+            F.least("_sza", "_szb").cast("double")
+            / F.greatest("_sza", "_szb").cast("double")
+            >= F.lit(float(threshold))
+        )
+    else:
+        pair_cond = F.col("id_a") < F.col("id_b")
     inter = (
         a.join(b, "h")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(pair_cond)
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            *(
+                [F.first("_sza").alias("_sza"), F.first("_szb").alias("_szb")]
+                if size_prefilter
+                else []
+            ),
+        )
     )
+    if not size_prefilter:
+        inter = inter.join(sizes_a, "id_a").join(sizes_b, "id_b")
     out = (
-        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("_inter")
             / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),

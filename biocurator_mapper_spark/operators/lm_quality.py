@@ -126,9 +126,28 @@ def lm_quality_score(
     docs; unseen trigrams contribute 0, so out-of-domain text is penalized
     rather than dropped). ``model`` defaults to training on ``docs``
     itself (self-scoring: boilerplate and natural prose rank high,
-    line-noise ranks low)."""
-    if model is None:
-        model = train_char_lm(docs, text_col)
+    line-noise ranks low).
+
+    When a PRE-TRAINED ``model`` is supplied the stateless broadcast scorer
+    (:func:`score_with_model`) answers directly — zero corpus shuffles (the
+    model rides a pandas-UDF closure; the plan is scan → project), vs the
+    explode→broadcast-join→aggregate path the self-training case needs.
+    The two paths are bit-identical (same quantized-integer arithmetic,
+    pinned in tests), so this is purely a physical-plan upgrade."""
+    if model is not None:
+        return score_with_model(docs, text_col, model).select(
+            id_col, "n_trigrams", "lm_score"
+        )
+    return lm_score_aggregate(docs, id_col, text_col, train_char_lm(docs, text_col))
+
+
+def lm_score_aggregate(
+    docs: DataFrame, id_col: str, text_col: str, model: DataFrame
+) -> DataFrame:
+    """The explode→broadcast-join→aggregate formulation of the score —
+    the self-training path (the model is a fresh aggregate of ``docs``
+    itself, so a corpus pass exists anyway) and the differential twin the
+    stateless scorer is pinned bit-identical against in tests."""
     rows = docs.select(
         F.col(id_col).alias("_id"),
         F.explode_outer(char_trigrams_expr(F.col(text_col))).alias("trigram"),

@@ -60,8 +60,18 @@ def curation_gates(
         if declared_lang
         else F.col("_s.q.lang")
     )
+    # NULL text must FAIL a gate, not null-pass every predicate: a NULL
+    # curation_gate reads as "kept" downstream, and in the streaming twin
+    # the NULL fingerprint rows would then collapse to a single survivor
+    # (dropDuplicatesWithinWatermark treats NULL keys as equal) — so
+    # html-only/not-yet-extracted pages would silently vanish from the
+    # stream while batch kept them. Rejecting NULL as too_short (n_chars
+    # coalesced to 0) keeps batch and stream agreeing by construction.
     first_gate = (
-        F.when(F.col("_s.q.n_chars") < min_chars, F.lit("too_short"))
+        F.when(
+            F.coalesce(F.col("_s.q.n_chars"), F.lit(0)) < min_chars,
+            F.lit("too_short"),
+        )
         .when(F.col("_s.q.n_tokens") < min_tokens, F.lit("too_few_tokens"))
         .when(F.col("_s.q.punct_ratio") > max_punct_ratio, F.lit("too_much_punct"))
         .when(

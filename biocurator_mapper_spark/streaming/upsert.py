@@ -54,9 +54,10 @@ def merge_upsert_stream(
     (latest wins, ties broken deterministically by the ORDERABLE non-key
     columns) when given, else the row winning a deterministic sort over
     those same columns (so a replayed batch commits identical content).
-    Non-orderable columns (maps, recursively) are excluded from sort keys
-    — they would throw at runtime — so determinism is guaranteed only up
-    to rows that tie on every orderable column.
+    Non-orderable columns (maps, recursively) are excluded from direct
+    sort keys — they would throw at runtime — but a final
+    ``xxhash64(to_json(struct(payload)))`` tiebreak covers them, so the
+    committed winner is always a pure function of row content.
     ``trigger`` is passed to ``writeStream.trigger`` — default
     ``{"availableNow": True}`` drains what exists and stops (batch-style
     catch-up); pass e.g. ``{"processingTime": "1 minute"}`` for a
@@ -79,9 +80,22 @@ def merge_upsert_stream(
             and _orderable(f.dataType)
         ]
         lead = [F.desc(order_col)] if order_col is not None else []
-        # row_number requires ≥1 sort key; all-map payloads fall back to
-        # the (constant) keys — legal, winner arbitrary-but-single
-        order = [*lead, *tiebreak] or [F.asc(c) for c in key_cols]
+        # Final tiebreak: a content hash over ALL non-key payload columns
+        # (to_json handles the map-typed ones sort keys must exclude), so
+        # the winner is a function of row CONTENT, never of partition
+        # order — a replayed micro-batch commits identical rows even when
+        # every orderable column ties or the payload is all maps.
+        non_key = [
+            f.name for f in batch_df.schema.fields if f.name not in key_cols
+        ]
+        content_hash = (
+            [F.asc(F.xxhash64(F.to_json(F.struct(*non_key))))] if non_key else []
+        )
+        # row_number requires ≥1 sort key; key-only tables fall back to the
+        # (constant) keys — legal, and every row is identical anyway
+        order = [*lead, *tiebreak, *content_hash] or [
+            F.asc(c) for c in key_cols
+        ]
         w = Window.partitionBy(*key_cols).orderBy(*order)
         src = (
             batch_df.withColumn("_rn", F.row_number().over(w))

@@ -86,6 +86,25 @@ def test_ngram_jaccard_pairs_match_oracle(spark, docs):
     assert (0, 100) in got  # exact dup pair found
 
 
+def test_ngram_jaccard_size_prefilter_is_result_identical(spark, docs):
+    """The min/max size-ratio prune is conservative: with it off, the exact
+    post-aggregate relation is bit-identical (it only removes pairs the
+    Jaccard filter would remove anyway)."""
+    on = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, size_prefilter=True
+        ).collect()
+    }
+    off = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, size_prefilter=False
+        ).collect()
+    }
+    assert on == off and on
+
+
 def test_minhash_lsh_finds_planted_dups(spark, docs):
     got = {
         (r.id_a, r.id_b)

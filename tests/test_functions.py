@@ -132,9 +132,13 @@ def test_lm_quality_score_ranks_language_over_noise(spark):
         for r in lm_quality_score(df, "doc_id", "text", model=model).collect()
     }
     assert ext[0] > ext[100]
-    # the stateless per-row scorer (streaming path) is bit-identical to
+    # the stateless per-row scorer (streaming path AND, since round 5, the
+    # default whenever a pre-trained model is supplied) is bit-identical to
     # the aggregate formulation under the same model
-    from biocurator_mapper_spark.operators.lm_quality import score_with_model
+    from biocurator_mapper_spark.operators.lm_quality import (
+        lm_score_aggregate,
+        score_with_model,
+    )
 
     per_row = {
         r.doc_id: (r.n_trigrams, r.lm_score)
@@ -142,9 +146,17 @@ def test_lm_quality_score_ranks_language_over_noise(spark):
     }
     agg = {
         r.doc_id: (r.n_trigrams, r.lm_score)
-        for r in lm_quality_score(df, "doc_id", "text", model=model).collect()
+        for r in lm_score_aggregate(df, "doc_id", "text", model).collect()
     }
     assert per_row == agg
+    # model-supplied scoring takes the shuffle-free plan: no Exchange node
+    plan = (
+        lm_quality_score(df, "doc_id", "text", model=model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
 
 
 def test_real_decoder_registry_gated_on_pil(spark):

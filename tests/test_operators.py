@@ -155,6 +155,51 @@ def test_connected_components_chain_and_star(spark, strategy):
     assert len({comp[n] for n in comp}) == 3
 
 
+def test_clusters_from_pairs_leaves_caller_cache_alone(spark):
+    """clusters_from_pairs raises the pairs storage level for its own 2-3
+    consumptions, but must NOT unpersist a relation the CALLER persisted —
+    the contract memo shares one cached pair relation across queries, and
+    dropping it here silently defeated that sharing."""
+    from biocurator_mapper_spark.operators.canonicalize import clusters_from_pairs
+
+    base = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+
+    shared = pairs.persist()
+    shared.count()
+    out = clusters_from_pairs(base, shared, "doc_id")
+    assert out.count() == 6
+    lvl = shared.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # caller's cache survives
+    shared.unpersist()
+
+    # unpersisted input: the function still works (and manages its own cache)
+    out2 = {
+        r.doc_id: r.representative_id
+        for r in clusters_from_pairs(base, pairs, "doc_id").collect()
+    }
+    assert out2[2] == 0 and out2[5] == 5
+
+
+def test_memo_evicts_stopped_sessions():
+    """_MEMO entries for dead sessions are purged on the next build (a
+    long-lived driver cycling sessions must not pin dead-session objects)."""
+    import __spark_entry__ as entrymod
+
+    class _FakeDead:
+        @property
+        def sparkContext(self):  # touching the JVM of a dead session raises
+            raise RuntimeError("stopped")
+
+    dead = _FakeDead()
+    entrymod._MEMO[(id(dead), ("x",))] = (dead, "df-sentinel")
+    try:
+        entrymod._evict_stale_memo(live=object())
+        assert (id(dead), ("x",)) not in entrymod._MEMO
+    finally:
+        entrymod._MEMO.pop((id(dead), ("x",)), None)
+
+
 def test_connected_components_random_vs_networkx_style(spark):
     # union-find oracle in plain python
     import random

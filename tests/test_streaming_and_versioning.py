@@ -223,3 +223,47 @@ def test_merge_upsert_stream_two_batches(spark, tmp_path):
     assert got[6] == ("latest-new", 3)     # intra-batch dup -> latest rev
     assert len(got) == 6
     assert len(cat.versions("docs")) == 2  # one snapshot per micro-batch
+
+
+def test_merge_upsert_all_map_payload_winner_is_content_deterministic(
+    spark, tmp_path
+):
+    """With no order_col and an all-map payload (no orderable sort keys),
+    the committed winner must be a function of row CONTENT, not partition
+    order: the same duplicate-key rows landed in either order commit the
+    identical row (the xxhash64(to_json(payload)) tiebreak)."""
+    import os
+    import time as _t
+
+    from biocurator_mapper_spark.sources.catalog import ParquetCatalog
+    from biocurator_mapper_spark.streaming.upsert import merge_upsert_stream
+
+    schema = "doc_id long, attrs map<string,string>"
+    rows = [(1, {"v": "alpha"}), (1, {"v": "beta"}), (2, {"v": "only"})]
+
+    def run(tag, ordered_rows):
+        landing = tmp_path / f"in_{tag}"
+        landing.mkdir()
+        spark.createDataFrame(ordered_rows, schema).coalesce(1).write.parquet(
+            str(landing / "b0")
+        )
+        now = _t.time()
+        for p in (landing / "b0").rglob("*"):
+            os.utime(p, (now - 100, now - 100))
+        cat = ParquetCatalog(spark, str(tmp_path / f"wh_{tag}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing) + "/*")
+        )
+        q = merge_upsert_stream(
+            stream, cat, "docs", ["doc_id"], str(tmp_path / f"ckpt_{tag}")
+        )
+        q.awaitTermination(120)
+        return {r.doc_id: dict(r.attrs) for r in cat.read("docs").collect()}
+
+    fwd = run("fwd", rows)
+    rev = run("rev", rows[::-1])
+    assert fwd == rev
+    assert fwd[2] == {"v": "only"}
+    assert fwd[1]["v"] in ("alpha", "beta")

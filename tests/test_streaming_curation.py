@@ -83,6 +83,56 @@ def test_streaming_curate_matches_batch_survivors(spark, tmp_path):
     assert "u://de" not in {r.url for r in got}
 
 
+def test_null_text_rejected_identically_in_batch_and_stream(spark, tmp_path):
+    """NULL-text pages (html landed, extraction pending) must FAIL a gate in
+    both paths: previously all gate predicates evaluated to NULL, the NULL
+    curation_gate read as kept, and the streaming dedup collapsed every
+    NULL-fingerprint page into ONE surviving row (NULL keys compare equal in
+    dropDuplicatesWithinWatermark) while batch kept them all — silent data
+    loss on the stream and batch/stream drift. Now both reject as
+    too_short."""
+    import datetime as dt
+
+    rows = generate_pages_rows(["x"], n_pages=6, seed=3, include_edge_rows=False)
+    ts = dt.datetime(2025, 1, 1, 12, 0, 0)
+    nulls = [
+        ("u://null1", ts, b"<p>pending</p>", None, "en"),
+        ("u://null2", ts, b"<p>pending2</p>", None, "en"),
+    ]
+    all_rows = rows + nulls
+
+    # batch: both NULL-text pages are gate-rejected (not kept, not collapsed)
+    gated = curation_gates(
+        spark.createDataFrame(all_rows, PAGES_SCHEMA), min_chars=40, min_tokens=5
+    )
+    by_url = {r.url: r.curation_gate for r in gated.collect()}
+    assert by_url["u://null1"] == "too_short"
+    assert by_url["u://null2"] == "too_short"
+
+    # stream: neither reaches the sink (they fail the gate BEFORE dedup, so
+    # no NULL-fingerprint collapse can occur)
+    landing = tmp_path / "in_nulls"
+    landing.mkdir()
+    _land_two_batches(spark, landing, all_rows[:4], all_rows[4:])
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing) + "/*")
+    )
+    q = (
+        streaming_curate(stream, watermark="2 days", min_chars=40, min_tokens=5)
+        .writeStream.format("memory")
+        .queryName("cur_stream_nulls")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    urls = {r.url for r in spark.sql("select url from cur_stream_nulls").collect()}
+    assert "u://null1" not in urls and "u://null2" not in urls
+    assert urls  # the real pages still flow
+
+
 def test_streaming_curate_lm_gate(spark, tmp_path):
     """The char-LM gate on the stream: a pre-trained static model drops
     noise pages the heuristic gates pass, keeps prose — and requiring the
