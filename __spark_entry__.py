@@ -957,6 +957,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bpe_count_expr(F.col("text"), MERGES).alias("n_tokens"),
         )
 
+    def sample_temperature(spark, sf_dir):
+        # XLM-R-style temperature mixing (alpha=0.5, target 300 rows):
+        # stratum mass ∝ n_s^alpha; deterministic id-hash filter against
+        # integer thresholds computed ONCE in Python (shared verbatim with
+        # the oracle generator — engines only compare integers)
+        from biocurator_mapper_spark.operators.sampling import temperature_sample
+
+        return temperature_sample(
+            _docs(spark, sf_dir).select("doc_id", "source"),
+            "source",
+            "doc_id",
+            alpha=0.5,
+            target_rows=300,
+        )
+
+    def pack_sequences(spark, sf_dir):
+        # GPT-style sequence packing: concatenate docs (id order) into
+        # ctx_len=512 training windows via the two-level distributed prefix
+        # sum (operators/packing.py) — no single-partition corpus window
+        from biocurator_mapper_spark.operators.packing import (
+            pack_sequences as _pack,
+        )
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+        )
+        return _pack(d, "doc_id", "n_tokens", ctx_len=512)
+
     def events_rollup_report(spark, sf_dir):
         # multi-granularity rollup in ONE pass (GROUPING SETS): per
         # (day, type), per day, and grand total
@@ -1139,6 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- flagship + new this round -----------------------------------
         "kg_triples": kg_triples,
         "text_bpe_real": text_bpe_real,
+        "pack_sequences": pack_sequences,
+        "sample_temperature": sample_temperature,
         # --- no driver row in r4 (driver-green r3 or earlier) ------------
         "dedup_simhash": dedup_simhash,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -1805,6 +1835,35 @@ def _bpe_real_sql() -> str:
     )
 
 
+def _temperature_sample_sql(alpha: float = 0.5, target_rows: int = 300) -> str:
+    """Oracle for sample_temperature: per-source counts read via DuckDB at
+    the oracle SF, thresholds produced by the SAME pure-Python math the
+    Spark path uses (operators/sampling.py::thresholds_from_counts), then
+    an integer hash-threshold filter — the IVF-centroid data-dependent
+    pattern; no float crosses an engine boundary."""
+    import os as _os
+
+    import duckdb
+
+    from biocurator_mapper_spark.operators.sampling import thresholds_from_counts
+
+    sf_dir = _os.environ.get(_ORACLE_SF_DIR_ENV, "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    n_by = con.execute(
+        f"SELECT source, count(*)::BIGINT FROM '{sf_dir}/documents.parquet' "
+        "GROUP BY source ORDER BY source"
+    ).fetchall()
+    con.close()
+    th = thresholds_from_counts([(s, n) for s, n in n_by], alpha, target_rows)
+    q = lambda s: str(s).replace("'", "''")  # noqa: E731
+    cases = " ".join(f"WHEN '{q(s)}' THEN {t}" for s, t in sorted(th.items()))
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE ('0x' || substring(md5(coalesce(doc_id::VARCHAR, chr(0) || 'null')), 1, 4))::BIGINT
+              < CASE source {cases} ELSE 0 END
+    """
+
+
 def _bm25_sql(
     query_terms: list[str], k: int = 20, k1: float = 1.2, b: float = 0.75
 ) -> str:
@@ -2280,6 +2339,25 @@ def oracle_sql() -> dict[str, str]:
             FROM rep
         """,
         "text_bpe_real": _bpe_real_sql(),
+        "sample_temperature": _temperature_sample_sql(),
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))::BIGINT
+                       AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+              FROM t
+            )
+            SELECT doc_id, n_tokens, cum_before,
+                   (cum_before // 512)::BIGINT AS seq_id,
+                   (cum_before % 512)::BIGINT AS seq_offset,
+                   ((cum_before + greatest(n_tokens - 1, 0)) // 512)::BIGINT AS end_seq_id
+            FROM c
+        """,
         "text_bpe_token_count": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text,

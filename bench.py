@@ -74,6 +74,13 @@ def main() -> int:
 
     _warm = pandas_udf(lambda s: s, "long")
     spark.range(100000).select(_warm(col("id"))).count()
+    # ... and the flagship's full WORKER MODULE PROFILE (numpy, the HTML
+    # extractor, the hash embedder and the Arrow struct serializer import
+    # per worker process on first use — ~0.5-1 s hidden in whichever timed
+    # pass hits them first otherwise). One tiny sf0.001 pass loads them;
+    # timed passes still pay full plan construction + execution.
+    if "kg_triples" in qs:
+        qs["kg_triples"](spark, "/root/testdata/sf0.001").count()
     # min of 2 passes per query: this box is shared and background load
     # produces 2-4x single-run swings (BENCH.md §1) — the min is the
     # reproducible capability number, still including per-query plan

@@ -50,6 +50,85 @@ def stratified_sample(
     return df.where(_id_hash(id_col) < frac * HASH_SPACE)
 
 
+DEFAULT_MAX_STRATA = 100_000
+
+
+def temperature_fractions(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float,
+    target_rows: int,
+    max_strata: int = DEFAULT_MAX_STRATA,
+) -> dict[str, int]:
+    """Per-stratum integer hash thresholds for temperature-``alpha`` mixture
+    sampling (XLM-R style): stratum s with n_s rows gets sampling mass
+    q_s ∝ n_s^alpha, i.e. an expected ``target_rows · q_s`` keep budget,
+    as a keep-fraction min(1, budget/n_s) quantized onto the 16-bit hash
+    space. alpha=1 reproduces the corpus mixture; alpha→0 flattens toward
+    uniform-over-strata (upsampling the tail is out of scope — fractions
+    cap at 1).
+
+    The stratum table is DIMENSION-sized (sources/domains, not rows):
+    one corpus aggregate collapses to ≤``max_strata`` rows collected
+    driver-side — the IVF-centroid pattern — so the thresholds are plain
+    Python floats→ints and the engine-side filter is integer-exact
+    (pow() never crosses an engine boundary; libm rounding can't flip a
+    row)."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .limit(max_strata + 1)
+        .collect()
+    )
+    if len(counts) > max_strata:
+        raise ValueError(
+            f"more than {max_strata} strata — thresholds would not be "
+            "dimension-sized; raise max_strata deliberately or pre-bucket"
+        )
+    # deterministic iteration order (hash-agg output order is not)
+    n_by = sorted((r[strata_col], r["_n"]) for r in counts)
+    return thresholds_from_counts(n_by, alpha, target_rows)
+
+
+def thresholds_from_counts(
+    n_by: list[tuple[str, int]], alpha: float, target_rows: int
+) -> dict[str, int]:
+    """The pure threshold math, shared by the Spark path and the DuckDB
+    oracle generator so the two can never drift (all floating point happens
+    HERE, once, in one interpreter; engines only compare integers)."""
+    weights = [(s, float(n) ** alpha) for s, n in n_by]
+    total_w = sum(w for _, w in weights) or 1.0
+    out: dict[str, int] = {}
+    for (s, n), (_, w) in zip(n_by, weights):
+        budget = target_rows * (w / total_w)
+        frac = min(1.0, budget / n)
+        out[s] = int(frac * HASH_SPACE + 0.5)
+    return out
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float,
+    target_rows: int,
+    max_strata: int = DEFAULT_MAX_STRATA,
+) -> DataFrame:
+    """Deterministic temperature-mixture sample: rows whose id hash falls
+    under their stratum's :func:`temperature_fractions` threshold. A pure
+    narrow filter after one dimension-sized aggregate — same resume/oracle
+    properties as :func:`stratified_sample`."""
+    thresholds = temperature_fractions(
+        df, strata_col, alpha, target_rows, max_strata
+    )
+    thresh = F.lit(0)
+    for s, t in sorted(thresholds.items()):
+        thresh = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(thresh)
+    return df.where(_id_hash(id_col) < thresh)
+
+
 def cap_per_stratum(
     df: DataFrame, strata_col: str, cap: int, id_col: str
 ) -> DataFrame:

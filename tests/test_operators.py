@@ -326,6 +326,63 @@ def test_stratified_sample_and_cap_deterministic(spark):
     assert again == {r.doc_id for r in capped.collect()}
 
 
+def test_temperature_sample_mixing_semantics(spark):
+    """alpha=1 keeps the corpus mixture; alpha=0 flattens toward equal
+    per-stratum budgets (capped at each stratum's size); the whole thing is
+    run-stable and the threshold math is pure driver-side integers."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.operators.sampling import (
+        temperature_fractions,
+        temperature_sample,
+        thresholds_from_counts,
+    )
+
+    # skewed strata: head 800, mid 150, tail 50
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 800, "head")
+        .when(F.col("id") < 950, "mid")
+        .otherwise("tail")
+        .alias("source"),
+    )
+
+    def counts(alpha, target):
+        out = temperature_sample(df, "source", "doc_id", alpha, target)
+        return {
+            r.source: r.n
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+
+    # alpha=1: budgets ∝ n_s → keep fraction equal across strata (~target/N)
+    c1 = counts(1.0, 500)
+    assert 330 <= c1["head"] <= 470  # ~400 expected
+    assert 45 <= c1["mid"] <= 105    # ~75
+    assert 12 <= c1["tail"] <= 38    # ~25
+    # alpha=0: equal budgets (500/3 ≈ 167) — tail saturates at its 50 rows
+    c0 = counts(0.0, 500)
+    assert c0["tail"] == 50
+    assert 120 <= c0["mid"] <= 167
+    assert abs(c0["head"] - c0["mid"]) <= 60  # head no longer dominates
+    # deterministic re-run
+    a = {r.doc_id for r in temperature_sample(df, "source", "doc_id", 0.5, 300).collect()}
+    b = {r.doc_id for r in temperature_sample(df, "source", "doc_id", 0.5, 300).collect()}
+    assert a == b
+
+    # pure math: thresholds are ints, saturate at HASH_SPACE, and the
+    # Spark wrapper reproduces them
+    th = thresholds_from_counts([("head", 800), ("mid", 150), ("tail", 50)], 0.0, 500)
+    assert th["tail"] == 65536  # frac 1.0
+    assert all(isinstance(v, int) for v in th.values())
+    assert temperature_fractions(df, "source", 0.0, 500) == th
+
+    with pytest.raises(ValueError):
+        temperature_sample(df, "source", "doc_id", 1.5, 100)
+    with pytest.raises(ValueError):
+        temperature_fractions(df, "source", 0.5, 100, max_strata=2)
+
+
 def test_bm25_topk_ranks_and_plan(spark):
     from biocurator_mapper_spark.operators.retrieval import bm25_topk
     from biocurator_mapper_spark.plans.inspect import _plan_string
