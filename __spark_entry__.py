@@ -957,6 +957,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bpe_count_expr(F.col("text"), MERGES).alias("n_tokens"),
         )
 
+    def dedup_paragraphs(spark, sf_dir):
+        # CCNet-style corpus-wide paragraph dedup (first occurrence of each
+        # normalized paragraph wins; docs reassembled). The synthetic corpus
+        # is newline-free, so pseudo-paragraph breaks are injected at every
+        # ' the ' (literal regexp_replace — identical non-overlapping scan
+        # in both engines) to exercise splitting, cross-doc first-win and
+        # in-order reassembly for real.
+        from biocurator_mapper_spark.operators.dedup import paragraph_dedup
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), " the ", "\n").alias("text"),
+        )
+        return paragraph_dedup(d, "doc_id", "text")
+
     def sample_temperature(spark, sf_dir):
         # XLM-R-style temperature mixing (alpha=0.5, target 300 rows):
         # stratum mass ∝ n_s^alpha; deterministic id-hash filter against
@@ -1169,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_real": text_bpe_real,
         "pack_sequences": pack_sequences,
         "sample_temperature": sample_temperature,
+        "dedup_paragraphs": dedup_paragraphs,
         # --- no driver row in r4 (driver-green r3 or earlier) ------------
         "dedup_simhash": dedup_simhash,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -1835,6 +1851,40 @@ def _bpe_real_sql() -> str:
     )
 
 
+_PARAGRAPH_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_replace(text, ' the ', chr(10), 'g') AS text FROM documents
+),
+sp AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ps FROM d),
+px0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(ps)), i -> {'idx': i, 'para': ps[i+1]})) AS u
+  FROM sp
+),
+px AS (
+  SELECT doc_id, u.idx AS idx, u.para AS para,
+         md5(trim(regexp_replace(lower(u.para), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM px0 WHERE trim(u.para) <> ''
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id, idx) AS rn FROM px
+),
+re AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text_dedup,
+         count(*)::BIGINT AS n_kept
+  FROM w WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_paragraphs FROM px GROUP BY doc_id)
+SELECT dd.doc_id,
+       coalesce(re.text_dedup, '') AS text_dedup,
+       coalesce(tot.n_paragraphs, 0)::BIGINT AS n_paragraphs,
+       coalesce(re.n_kept, 0)::BIGINT AS n_kept
+FROM documents dd
+LEFT JOIN tot ON tot.doc_id = dd.doc_id
+LEFT JOIN re ON re.doc_id = dd.doc_id
+"""
+
+
 def _temperature_sample_sql(alpha: float = 0.5, target_rows: int = 300) -> str:
     """Oracle for sample_temperature: per-source counts read via DuckDB at
     the oracle SF, thresholds produced by the SAME pure-Python math the
@@ -2340,6 +2390,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_bpe_real": _bpe_real_sql(),
         "sample_temperature": _temperature_sample_sql(),
+        "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
         "pack_sequences": """
             WITH t AS (
               SELECT doc_id,

@@ -656,3 +656,92 @@ def simhash_near_dup_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------------- paragraph dedup
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup: split each document into
+    paragraphs, keep only the FIRST occurrence (ordered by (id, position))
+    of each normalized paragraph fingerprint anywhere in the corpus, and
+    reassemble the surviving paragraphs in original order.
+
+    Returns (id, text_dedup, n_paragraphs, n_kept) for EVERY input doc —
+    blank-paragraph-only and null-text docs come back with empty text and
+    zero counts; intra-doc repeats keep only their first instance (CCNet's
+    behavior for boilerplate lines).
+
+    Plan shape: posexplode → fingerprint → one hash aggregate keyed on the
+    fingerprint (min (id, idx) winner — map-side partial min) → join back
+    on the fingerprint (the exploded relation is one exchange, reused by
+    the winner aggregate, the rejoin, and the per-doc totals) → one per-doc
+    aggregate to reassemble. Keys are md5 hex strings, not truncated longs:
+    a 60-bit key would spuriously collide (and silently DROP paragraphs)
+    at web-scale paragraph counts — correctness over key width here, unlike
+    the candidate-generation tiers where collisions only cost verify work.
+    """
+    paras = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            ).alias("_idx", "_para"),
+        )
+        .where(F.trim(F.col("_para")) != "")
+        .withColumn(
+            "_fp",
+            F.md5(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("_para")), r"[^a-z0-9]+", " ")
+                )
+            ),
+        )
+    )
+    # under-partitioned-source valve (same rule as _hashed_shingle_rows):
+    # spread exploded paragraph rows so the three consumer subtrees read one
+    # parallel materialization; well-split inputs skip it
+    from ..functions.partitions import estimated_source_partitions
+
+    spark = docs.sparkSession
+    default_p = spark.sparkContext.defaultParallelism
+    if estimated_source_partitions(docs) < max(default_p // 2, 1):
+        paras = paras.repartition(default_p)
+    first = paras.groupBy("_fp").agg(
+        F.min(F.struct(F.col("_id"), F.col("_idx"))).alias("_first")
+    )
+    kept = paras.join(first, "_fp").where(
+        (F.col("_first._id") == F.col("_id"))
+        & (F.col("_first._idx") == F.col("_idx"))
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_para"))),
+                lambda x: x["_para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs")
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(totals, "_id", "left")
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.coalesce(F.col("n_paragraphs"), F.lit(0)).cast("bigint").alias(
+                "n_paragraphs"
+            ),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

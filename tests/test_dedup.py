@@ -105,6 +105,33 @@ def test_ngram_jaccard_size_prefilter_is_result_identical(spark, docs):
     assert on == off and on
 
 
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Cross-doc AND intra-doc repeated paragraphs keep only the first
+    occurrence by (id, position); docs reassemble in original order;
+    null/blank-only docs come back empty with zero counts; near-canonical
+    variants (case/punct) collapse to one fingerprint."""
+    from biocurator_mapper_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha beta\nshared line\nalpha beta"),   # intra-doc repeat
+        (2, "shared line\nunique two"),                # cross-doc repeat
+        (3, "SHARED, line!\nunique three"),            # normalized repeat
+        (4, None),
+        (5, "   \n  \n"),                              # blanks only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_dedup, r.n_paragraphs, r.n_kept)
+        for r in paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert got[1] == ("alpha beta\nshared line", 3, 2)
+    assert got[2] == ("unique two", 2, 1)
+    assert got[3] == ("unique three", 2, 1)
+    assert got[4] == ("", 0, 0)
+    assert got[5] == ("", 0, 0)
+    assert len(got) == 5
+
+
 def test_minhash_lsh_finds_planted_dups(spark, docs):
     got = {
         (r.id_a, r.id_b)
