@@ -108,8 +108,9 @@ def cmd_triples(args) -> int:
 
 
 def cmd_curate(args) -> int:
-    """Training-corpus funnel: gates (+ optional char-LM) → exact dedup →
-    optional near-dup cluster removal → curated parquet + funnel JSON."""
+    """Training-corpus funnel: optional corpus-wide paragraph dedup →
+    gates (+ optional char-LM) → exact dedup → optional near-dup cluster
+    removal → curated parquet + funnel JSON."""
     from pyspark.sql import functions as F
 
     from .operators.dedup import dedup_clusters
@@ -117,6 +118,19 @@ def cmd_curate(args) -> int:
 
     spark = _spark()
     docs = spark.read.parquet(args.docs)
+    if args.paragraph_dedup:
+        # CCNet ordering: drop corpus-wide repeated paragraphs FIRST so
+        # boilerplate doesn't inflate quality/fingerprint signals downstream
+        from .operators.dedup import paragraph_dedup
+
+        deduped = paragraph_dedup(docs, args.id_col, args.text_col).select(
+            args.id_col, F.col("text_dedup")
+        )
+        docs = (
+            docs.drop(args.text_col)
+            .join(deduped, args.id_col)
+            .withColumnRenamed("text_dedup", args.text_col)
+        )
     staged = curate(
         docs,
         id_col=args.id_col,
@@ -135,6 +149,64 @@ def cmd_curate(args) -> int:
     kept.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"rows_in": docs.count(), "funnel": funnel,
                       "rows_out": kept.count(), "out": args.out}))
+    return 0
+
+
+def cmd_mix(args) -> int:
+    """Temperature-mixture sample (stratum mass ∝ n^alpha) → parquet."""
+    from .operators.sampling import temperature_sample
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs)
+    out = temperature_sample(
+        docs, args.strata_col, args.id_col, args.alpha, args.target_rows
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "rows_in": docs.count(),
+                "rows_out": spark.read.parquet(args.out).count(),
+                "alpha": args.alpha,
+                "target_rows": args.target_rows,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_pack(args) -> int:
+    """Sequence-packing manifest: doc → (seq_id, seq_offset) → parquet."""
+    from pyspark.sql import functions as F
+
+    from .functions.text import token_count
+    from .operators.packing import pack_sequences
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs)
+    base = docs.select(
+        args.id_col,
+        token_count(F.col(args.text_col)).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_sequences(base, args.id_col, "n_tokens", args.ctx_len)
+    packed.write.mode("overwrite").parquet(args.out)
+    stats = packed.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        (F.max("end_seq_id") + 1).alias("seqs"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "docs": stats["docs"],
+                "total_tokens": stats["tokens"],
+                "n_sequences": stats["seqs"],
+                "ctx_len": args.ctx_len,
+                "out": args.out,
+            }
+        )
+    )
     return 0
 
 
@@ -206,7 +278,27 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--min-lm-score", type=float, default=None)
     c.add_argument("--near-dup", action=argparse.BooleanOptionalAction, default=False)
     c.add_argument("--lsh-threshold", type=float, default=0.5)
+    c.add_argument(
+        "--paragraph-dedup", action=argparse.BooleanOptionalAction, default=False
+    )
     c.set_defaults(fn=cmd_curate)
+
+    m = sub.add_parser("mix", help="temperature-mixture sample → parquet")
+    m.add_argument("docs")
+    m.add_argument("--out", required=True)
+    m.add_argument("--id-col", default="doc_id")
+    m.add_argument("--strata-col", default="source")
+    m.add_argument("--alpha", type=float, default=0.7)
+    m.add_argument("--target-rows", type=int, required=True)
+    m.set_defaults(fn=cmd_mix)
+
+    p = sub.add_parser("pack", help="sequence-packing manifest → parquet")
+    p.add_argument("docs")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--ctx-len", type=int, default=2048)
+    p.set_defaults(fn=cmd_pack)
 
     s = sub.add_parser("status", help="metrics / checkpoints / versions")
     s.set_defaults(fn=cmd_status)

@@ -134,6 +134,70 @@ def test_cli_curate(spark, tmp_path, monkeypatch):
     assert got.where(F.length("text") < 80).count() == 0  # gate applied
 
 
+def test_cli_mix_and_pack(spark, tmp_path, monkeypatch):
+    """`bcms mix` writes a temperature sample; `bcms pack` writes a packing
+    manifest whose sequence count covers the token total."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import biocurator_mapper_spark.cli as cli
+
+    monkeypatch.setattr(cli, "_spark", lambda: spark)
+    src = str(tmp_path / "docs_mp")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(
+            ["mix", src, "--out", str(tmp_path / "mixed"),
+             "--alpha", "0.5", "--target-rows", "200"]
+        )
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["rows_in"] == 500 and 0 < rep["rows_out"] <= 500
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(
+            ["pack", src, "--out", str(tmp_path / "packed"), "--ctx-len", "256"]
+        )
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["docs"] == 500
+    assert rep["n_sequences"] == -(-rep["total_tokens"] // 256) or rep["n_sequences"] >= 1
+    got = spark.read.parquet(str(tmp_path / "packed"))
+    assert got.count() == 500
+
+
+def test_cli_curate_paragraph_dedup_flag(spark, tmp_path, monkeypatch):
+    """--paragraph-dedup rewrites text before the funnel: corpus-wide
+    repeated paragraphs disappear from the curated output."""
+    import biocurator_mapper_spark.cli as cli
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(cli, "_spark", lambda: spark)
+    boiler = "all rights reserved contact us for details about this website"
+    body = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (i, f"{body} {i}\n{boiler}", "en", "s", 100) for i in range(10)
+    ]
+    src = str(tmp_path / "docs_pd")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    out_dir = str(tmp_path / "curated_pd")
+    rc = cli.main(
+        ["curate", src, "--out", out_dir, "--paragraph-dedup",
+         "--id-col", "doc_id"]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out_dir)
+    n_boiler = got.where(F.col("text").contains("rights reserved")).count()
+    assert n_boiler == 1  # only the first occurrence's doc keeps it
+    assert got.count() >= 1
+
+
 def test_cli_ingest_resolve_status(spark, tmp_path, monkeypatch):
     # run CLI mains in-process against a temp warehouse (reusing the session)
     import biocurator_mapper_spark.cli as cli
