@@ -972,6 +972,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return paragraph_dedup(d, "doc_id", "text")
 
+    def train_shuffle_order(spark, sf_dir):
+        # deterministic epoch shuffle: global rank by (md5(seed:id), id) via
+        # the distributed prefix scan — no single-partition corpus window
+        from biocurator_mapper_spark.operators.packing import shuffle_rank
+
+        return shuffle_rank(_docs(spark, sf_dir).select("doc_id"), "doc_id", seed="7")
+
     def sample_temperature(spark, sf_dir):
         # XLM-R-style temperature mixing (alpha=0.5, target 300 rows):
         # stratum mass ∝ n_s^alpha; deterministic id-hash filter against
@@ -1185,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences,
         "sample_temperature": sample_temperature,
         "dedup_paragraphs": dedup_paragraphs,
+        "train_shuffle_order": train_shuffle_order,
         # --- no driver row in r4 (driver-green r3 or earlier) ------------
         "dedup_simhash": dedup_simhash,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -2391,6 +2399,13 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_real": _bpe_real_sql(),
         "sample_temperature": _temperature_sample_sql(),
         "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
+        "train_shuffle_order": """
+            SELECT doc_id,
+                   (row_number() OVER (
+                      ORDER BY md5('7:' || coalesce(doc_id::VARCHAR, chr(0) || 'null')),
+                               doc_id) - 1)::BIGINT AS shuffle_rank
+            FROM documents
+        """,
         "pack_sequences": """
             WITH t AS (
               SELECT doc_id,

@@ -1,27 +1,21 @@
-"""Sequence packing: concatenate documents (in id order) into fixed-length
-training sequences — the GPT-style "pack the token stream into ctx_len
-windows" step every LLM pretraining pipeline runs after curation.
+"""Sequence packing + global-ordering primitives for training-data prep.
 
 Semantics: documents are concatenated into one virtual token stream ordered
 by ``id_col``; training sequence k owns tokens [k·ctx_len, (k+1)·ctx_len).
-Each document reports where its tokens land:
+Each document reports where its tokens land (``pack_sequences``), and a
+deterministic pseudo-random training order comes from the same machinery
+(``shuffle_rank``).
 
-- ``cum_before`` — exclusive prefix sum of token counts (stream position),
-- ``seq_id``     — the sequence its FIRST token falls in,
-- ``seq_offset`` — position of that first token within the sequence,
-- ``end_seq_id`` — the sequence its LAST token falls in (documents may span
-  sequence boundaries, exactly like GPT-2/3 packing; empty docs collapse to
-  ``seq_id`` so the pair is always well-ordered).
+The interesting part at scale is the global prefix sum / rank: the naive
+window (``ORDER BY id`` with no PARTITION BY) collapses the whole corpus
+into ONE task. ``ordered_prefix_sum`` is the classic two-level distributed
+scan instead:
 
-The interesting part at scale is the prefix sum: the naive window
-(``ORDER BY id`` with no PARTITION BY) collapses the whole corpus into ONE
-task. This implementation is the classic two-level distributed scan:
-
-1. ``repartitionByRange(id)`` puts disjoint, ordered id ranges in each
-   partition (range boundaries come from Spark's sampler; they affect only
-   placement, never the result);
+1. ``repartitionByRange(order_cols)`` puts disjoint, ordered key ranges in
+   each partition (range boundaries come from Spark's sampler; they affect
+   only placement, never the result);
 2. a window partitioned by ``spark_partition_id()`` computes LOCAL prefix
-   sums in parallel (one balanced hash exchange of (id, n) pairs);
+   sums in parallel (one balanced hash exchange of narrow rows);
 3. per-range totals — one tiny row per partition — get their own exclusive
    prefix sum (hundreds of rows, driver-scale window) and broadcast-join
    back as range offsets.
@@ -40,6 +34,52 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """``df`` + ``cum_before`` — the EXCLUSIVE prefix sum of ``value_col``
+    over the global ``order_cols`` ordering, computed with the two-level
+    distributed scan above (no single-partition corpus window). Input
+    columns pass through unchanged."""
+    spark = df.sparkSession
+    p = num_ranges or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+
+    tagged = df.repartitionByRange(p, *cols).withColumn(
+        "_rg", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_rg")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tagged.withColumn(
+        "_cum_local", F.sum(value_col).over(w_local) - F.col(value_col)
+    )
+    # per-range totals aggregate the PRE-window relation (the window's sort
+    # must not ride along into this tiny job); its own exclusive prefix sum
+    # runs on one task over `p` rows — driver-scale by construction
+    w_rg = Window.orderBy("_rg").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        tagged.groupBy("_rg")
+        .agg(F.sum(value_col).alias("_rg_total"))
+        .withColumn(
+            "_rg_offset", F.sum("_rg_total").over(w_rg) - F.col("_rg_total")
+        )
+        .select("_rg", "_rg_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_rg")
+        .withColumn("cum_before", F.col("_rg_offset") + F.col("_cum_local"))
+        .drop("_rg", "_cum_local", "_rg_offset")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     id_col: str,
@@ -47,7 +87,11 @@ def pack_sequences(
     ctx_len: int,
     num_ranges: int | None = None,
 ) -> DataFrame:
-    """(id, n_tokens, cum_before, seq_id, seq_offset, end_seq_id) per doc.
+    """(id, n_tokens, cum_before, seq_id, seq_offset, end_seq_id) per doc —
+    GPT-style packing of the id-ordered token stream into ``ctx_len``
+    windows. Documents may SPAN sequence boundaries (``end_seq_id`` >
+    ``seq_id``), exactly like GPT-2/3 packing; empty docs collapse to their
+    start sequence so the pair is always well-ordered.
 
     ``tokens_col`` is a column (or name) holding the per-doc token count —
     compose with ``functions.text.token_count`` / ``bpe_count_expr`` for
@@ -56,39 +100,9 @@ def pack_sequences(
     if ctx_len <= 0:
         raise ValueError("ctx_len must be positive")
     tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    spark = docs.sparkSession
-    p = num_ranges or spark.sparkContext.defaultParallelism
-
-    base = docs.select(
-        F.col(id_col), tok.cast("bigint").alias("n_tokens")
-    ).repartitionByRange(p, F.col(id_col))
-    tagged = base.withColumn("_rg", F.spark_partition_id())
-
-    w_local = (
-        Window.partitionBy("_rg")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = tagged.withColumn(
-        "_cum_local", F.sum("n_tokens").over(w_local) - F.col("n_tokens")
-    )
-
-    # per-range totals aggregate the PRE-window relation (the window's sort
-    # must not ride along into this tiny job); its own exclusive prefix sum
-    # runs on one task over `p` rows — driver-scale by construction
-    w_rg = (
-        Window.orderBy("_rg")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offsets = (
-        tagged.groupBy("_rg")
-        .agg(F.sum("n_tokens").alias("_rg_total"))
-        .withColumn("_rg_offset", F.sum("_rg_total").over(w_rg) - F.col("_rg_total"))
-        .select("_rg", "_rg_offset")
-    )
-
-    cum = F.col("_rg_offset") + F.col("_cum_local")
-    out = local.join(F.broadcast(offsets), "_rg").select(
+    base = docs.select(F.col(id_col), tok.cast("bigint").alias("n_tokens"))
+    cum = F.col("cum_before")
+    return ordered_prefix_sum(base, [id_col], "n_tokens", num_ranges).select(
         F.col(id_col),
         F.col("n_tokens"),
         cum.alias("cum_before"),
@@ -100,4 +114,31 @@ def pack_sequences(
         .cast("bigint")
         .alias("end_seq_id"),
     )
-    return out
+
+
+def shuffle_rank(
+    docs: DataFrame,
+    id_col: str,
+    seed: str = "0",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """(id, shuffle_rank) — a deterministic pseudo-random GLOBAL training
+    order: rank 0..n-1 by (md5(seed ‖ id), id). Epoch reshuffles = new
+    ``seed``; the same seed reproduces the same order on every engine and
+    every run (resume-stable). Rank is the prefix count over the hash
+    ordering — the same distributed scan as packing, value 1 per row; the
+    id tiebreak makes the order total even under hash collisions."""
+    hashed = docs.select(
+        F.col(id_col),
+        F.md5(
+            F.concat(
+                F.lit(str(seed)),
+                F.lit(":"),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null")),
+            )
+        ).alias("_h"),
+    ).withColumn("_one", F.lit(1).cast("bigint"))
+    return ordered_prefix_sum(hashed, ["_h", id_col], "_one", num_ranges).select(
+        F.col(id_col),
+        F.col("cum_before").alias("shuffle_rank"),
+    )

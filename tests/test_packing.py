@@ -81,6 +81,31 @@ def test_pack_sequences_many_ranges_and_skew(spark):
     assert got == want
 
 
+def test_shuffle_rank_is_seeded_permutation(spark):
+    from biocurator_mapper_spark.operators.packing import shuffle_rank
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    a = {r.doc_id: r.shuffle_rank for r in shuffle_rank(docs, "doc_id", seed="7").collect()}
+    # a permutation of 0..n-1
+    assert sorted(a.values()) == list(range(500))
+    # matches the naive global row_number over the same keys
+    w = Window.orderBy(
+        F.md5(F.concat(F.lit("7:"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    want = {
+        r.doc_id: r.rk
+        for r in docs.select(
+            "doc_id", (F.row_number().over(w) - 1).cast("bigint").alias("rk")
+        ).collect()
+    }
+    assert a == want
+    # same seed → same order; different seed → (overwhelmingly) different
+    b = {r.doc_id: r.shuffle_rank for r in shuffle_rank(docs, "doc_id", seed="7").collect()}
+    assert a == b
+    c = {r.doc_id: r.shuffle_rank for r in shuffle_rank(docs, "doc_id", seed="8").collect()}
+    assert a != c
+
+
 def test_pack_sequences_no_global_single_partition_window(spark):
     """The corpus-wide window must be partitioned (parallel); only the
     per-range-totals window (p rows) may be partitionless."""
