@@ -10,14 +10,20 @@
 
 The full pre-training data funnel, composed from the engine's operators:
 
-1. quality/repetition/language gates + exact dedup (`pipeline.curation`);
-2. near-duplicate CLUSTER removal — MinHash-LSH candidates, exact-Jaccard
+1. optional corpus-wide paragraph dedup (CCNet ordering — boilerplate out
+   BEFORE quality signals; `operators.dedup.paragraph_dedup`);
+2. quality/repetition/language gates + exact dedup (`pipeline.curation`);
+3. near-duplicate CLUSTER removal — MinHash-LSH candidates, exact-Jaccard
    verify, connected components, keep the representative
    (`operators.dedup.dedup_clusters`);
-3. optional benchmark decontamination — the exact 13-gram collision rule
+4. optional benchmark decontamination — the exact 13-gram collision rule
    (`operators.dedup.decontaminate_exact`);
-4. write the curated corpus partitioned by a stable id-hash bucket, plus a
-   one-row-per-stage funnel report.
+5. optional temperature mixture sampling toward a target row budget
+   (`operators.sampling.temperature_sample`);
+6. write the curated corpus partitioned by a stable id-hash bucket, plus a
+   one-row-per-stage funnel report — and, when ``--pack-ctx`` is given, a
+   training manifest with the seeded epoch-shuffle order and the
+   sequence-packing assignment (`operators.packing`).
 
 Every stage is declarative DataFrame work: gates are codegen expressions,
 dedup shuffles integer shingle hashes, decontamination broadcasts the
@@ -44,6 +50,17 @@ def main() -> int:
     ap.add_argument("--min-lm-score", type=float, default=None,
                     help="optional char-LM quality gate threshold")
     ap.add_argument("--n-buckets", type=int, default=256)
+    ap.add_argument("--paragraph-dedup", action="store_true",
+                    help="corpus-wide paragraph dedup before the gates")
+    ap.add_argument("--mix-alpha", type=float, default=None,
+                    help="temperature mixture sampling exponent")
+    ap.add_argument("--mix-target", type=int, default=None,
+                    help="target row budget for --mix-alpha")
+    ap.add_argument("--mix-strata-col", default="source")
+    ap.add_argument("--pack-ctx", type=int, default=None,
+                    help="context length: also write <out>_manifest with "
+                         "shuffle order + packing assignment")
+    ap.add_argument("--shuffle-seed", default="0")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,6 +75,19 @@ def main() -> int:
     spark = SparkSession.builder.appName("bcms-curate").getOrCreate()
     docs = spark.read.parquet(args.docs)
     id_col, text_col = args.id_col, args.text_col
+
+    # 0. optional paragraph dedup (CCNet ordering: boilerplate out first)
+    if args.paragraph_dedup:
+        from biocurator_mapper_spark.operators.dedup import paragraph_dedup
+
+        deduped = paragraph_dedup(docs, id_col, text_col).select(
+            id_col, F.col("text_dedup")
+        )
+        docs = (
+            docs.drop(text_col)
+            .join(deduped, id_col)
+            .withColumnRenamed("text_dedup", text_col)
+        )
 
     # 1. gates + exact dedup (one stage label per doc)
     staged = curate(
@@ -87,7 +117,19 @@ def main() -> int:
         kept = decontaminate_exact(kept, bench, id_col, text_col, n=args.ngram)
         n_after_decontam = kept.count()
 
-    # 4. stable id-hash bucketing for downstream co-located reads
+    # 5. optional temperature mixing toward the target row budget
+    n_after_mix = n_after_decontam
+    if args.mix_alpha is not None:
+        if args.mix_target is None:
+            raise SystemExit("--mix-alpha requires --mix-target")
+        from biocurator_mapper_spark.operators.sampling import temperature_sample
+
+        kept = temperature_sample(
+            kept, args.mix_strata_col, id_col, args.mix_alpha, args.mix_target
+        )
+        n_after_mix = kept.count()
+
+    # 6. stable id-hash bucketing for downstream co-located reads
     out = kept.withColumn(
         "part_bucket",
         F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(args.n_buckets)).cast(
@@ -95,6 +137,25 @@ def main() -> int:
         ),
     )
     out.write.mode("overwrite").partitionBy("part_bucket").parquet(args.out)
+
+    # 6b. optional training manifest: seeded epoch order + packing
+    manifest_out = None
+    if args.pack_ctx:
+        from biocurator_mapper_spark.functions.text import token_count
+        from biocurator_mapper_spark.operators.packing import (
+            pack_sequences,
+            shuffle_rank,
+        )
+
+        base = kept.select(
+            id_col, token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
+        )
+        manifest = pack_sequences(base, id_col, "n_tokens", args.pack_ctx).join(
+            shuffle_rank(kept.select(id_col), id_col, seed=args.shuffle_seed),
+            id_col,
+        )
+        manifest_out = args.out.rstrip("/") + "_manifest"
+        manifest.write.mode("overwrite").parquet(manifest_out)
 
     print(
         json.dumps(
@@ -104,7 +165,9 @@ def main() -> int:
                 "after_gates": n_after_gates,
                 "after_near_dup": n_after_neardup,
                 "after_decontamination": n_after_decontam,
+                "after_mixing": n_after_mix,
                 "out": args.out,
+                "manifest": manifest_out,
             }
         )
     )
