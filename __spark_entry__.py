@@ -393,7 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             a.crossJoin(F.broadcast(b))
             .where(F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
+            .withColumn("cosine", cosine_expr("_va", "_vb"))
             .where(F.col("cosine") >= 0.4)
             .select("id_a", "id_b", "cosine")
         )

@@ -87,9 +87,44 @@ def with_hash_embedding(
     return df.withColumn(out_col, _udf(F.col(text_col)))
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
+def _sql_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """The cosine fold as ONE SQL string — parses JVM-side in a single py4j
+    call (~1 ms) where the lambda-HOF Column construction costs ~100 ms of
+    py4j round trips per build (measured; it dominated sim_ann_lsh_topk's
+    plan-construction time). Parses to the same expression tree as the
+    Column path — equivalence pinned in tests."""
+    qa, qb = _sql_ident(a), _sql_ident(b)
+    sq = (
+        "sqrt(aggregate({v}, 0.0D, (acc, x) -> "
+        "acc + cast(x as double) * cast(x as double)))"
+    )
+    na, nb = sq.format(v=qa), sq.format(v=qb)
+    dot = (
+        f"aggregate(zip_with({qa}, {qb}, (x, y) -> "
+        "cast(x as double) * cast(y as double)), 0.0D, (acc, x) -> acc + x)"
+    )
+    return (
+        f"CASE WHEN {na} > 0 AND {nb} > 0 "
+        f"THEN {dot} / ({na} * {nb}) ELSE 0.0D END"
+    )
+
+
+def cosine_expr(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity over two array<float> columns with built-in
-    higher-order functions — JVM-side, no Python."""
+    higher-order functions — JVM-side, no Python.
+
+    Pass COLUMN NAMES (strings) on hot plan-construction paths: that form
+    builds via one ``F.expr`` parse instead of ~a dozen py4j lambda round
+    trips, producing the identical expression tree (and identical doubles —
+    same left-to-right fold)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_cosine_sql(a, b))
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     # cast to double BEFORE multiplying: float32 inputs are exact in double,
     # and double products/sums make the result bit-identical to any other
     # engine evaluating the same left-to-right fold (oracle comparability)

@@ -133,7 +133,7 @@ def lsh_topk(
     cands = (
         pairs.join(corpus.select(corpus_id_col, corpus_vec), corpus_id_col)
         .join(queries.select(query_id_col, query_vec), query_id_col)
-        .withColumn("cosine", cosine_expr(F.col(query_vec), F.col(corpus_vec)))
+        .withColumn("cosine", cosine_expr(query_vec, corpus_vec))
         .drop(query_vec, corpus_vec)
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(corpus_id_col))
@@ -305,7 +305,7 @@ def ivf_topk(
     cands = (
         q_assigned.join(c_assigned, "_cent")
         .drop("_cent")
-        .withColumn("cosine", cosine_expr(F.col(query_vec), F.col(corpus_vec)))
+        .withColumn("cosine", cosine_expr(query_vec, corpus_vec))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(corpus_id_col))
     return (
@@ -354,7 +354,7 @@ def embedding_cosine_pairs(
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb")))
+        .withColumn("cosine", cosine_expr("_va", "_vb"))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

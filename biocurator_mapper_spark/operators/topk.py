@@ -128,7 +128,7 @@ def brute_force_topk_join(
     (query_id, corpus_id, rank, cosine).
     """
     joined = queries.crossJoin(F.broadcast(corpus)).withColumn(
-        "cosine", cosine_expr(F.col(query_vec), F.col(corpus_vec))
+        "cosine", cosine_expr(query_vec, corpus_vec)
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(corpus_id_col)

@@ -445,7 +445,7 @@ def build_triples(
         .withColumn(
             "certainty",
             certainty_expr(
-                cosine_expr(F.col("page_embedding"), F.col("term_embedding"))
+                cosine_expr("page_embedding", "term_embedding")
             ).cast("double"),
         )
         .drop("page_embedding", "term_embedding")

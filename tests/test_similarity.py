@@ -54,6 +54,36 @@ def test_lsh_topk_recall_vs_exact(spark, vec_data):
     assert recall >= 0.8, recall  # clustered data + 8 tables → high recall
 
 
+def test_cosine_expr_string_form_bit_identical(spark):
+    """The F.expr fast-construction path (string column names) must produce
+    bit-identical doubles to the lambda-HOF Column path — same parsed
+    expression tree, same left-to-right fold — including the zero-norm and
+    weird-identifier edge cases."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.functions.embed import cosine_expr
+
+    rows = [
+        ([1.0, 2.0, 3.0], [2.0, 3.0, 4.0]),
+        ([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),   # zero norm → 0.0
+        ([-1.5, 0.25, 8.0], [7.0, -0.125, 3.25]),
+    ]
+    df = spark.createDataFrame(rows, "`a b` array<float>, b array<float>")
+    fast = [r.c for r in df.select(cosine_expr("a b", "b").alias("c")).collect()]
+    slow = [
+        r.c
+        for r in df.select(
+            cosine_expr(F.col("`a b`"), F.col("b")).alias("c")
+        ).collect()
+    ]
+    assert all(
+        (math.isnan(x) and math.isnan(y)) or x == y for x, y in zip(fast, slow)
+    )
+    assert fast[1] == 0.0
+
+
 def test_embedding_cosine_pairs_planted_dup(spark):
     rng = np.random.default_rng(3)
     base = rng.standard_normal(DIM)
