@@ -972,6 +972,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return paragraph_dedup(d, "doc_id", "text")
 
+    def profile_documents(spark, sf_dir):
+        # one-pass deequ-style table profile (row/null/exact-distinct/min/
+        # max per column) — single EXPAND+hash-agg job, tidy-unpivoted
+        from biocurator_mapper_spark.operators.profile import profile_table
+
+        return profile_table(
+            _docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+
     def train_shuffle_order(spark, sf_dir):
         # deterministic epoch shuffle: global rank by (md5(seed:id), id) via
         # the distributed prefix scan — no single-partition corpus window
@@ -1193,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": sample_temperature,
         "dedup_paragraphs": dedup_paragraphs,
         "train_shuffle_order": train_shuffle_order,
+        "profile_documents": profile_documents,
         # --- no driver row in r4 (driver-green r3 or earlier) ------------
         "dedup_simhash": dedup_simhash,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -2399,6 +2409,34 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_real": _bpe_real_sql(),
         "sample_temperature": _temperature_sample_sql(),
         "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
+        "profile_documents": """
+            SELECT 'doc_id' AS "column", count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+                   count(DISTINCT doc_id)::BIGINT AS n_distinct,
+                   min(doc_id)::VARCHAR AS min_value, max(doc_id)::VARCHAR AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'text', count(*)::BIGINT,
+                   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT text)::BIGINT, min(text), max(text)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*)::BIGINT,
+                   sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT lang)::BIGINT, min(lang), max(lang)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*)::BIGINT,
+                   sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT source)::BIGINT, min(source), max(source)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*)::BIGINT,
+                   sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT n_chars)::BIGINT,
+                   min(n_chars)::VARCHAR, max(n_chars)::VARCHAR
+            FROM documents
+        """,
         "train_shuffle_order": """
             SELECT doc_id,
                    (row_number() OVER (

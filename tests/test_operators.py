@@ -383,6 +383,36 @@ def test_temperature_sample_mixing_semantics(spark):
         temperature_fractions(df, "source", 0.5, 100, max_strata=2)
 
 
+def test_profile_table_one_pass(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0), (3, None, 7.5), (None, "b", 7.5)],
+        "id long, s string, v double",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["id"].n_rows == 4 and got["id"].n_nulls == 1
+    assert got["id"].n_distinct == 3
+    assert (got["id"].min_value, got["id"].max_value) == ("1", "3")
+    assert got["s"].n_distinct == 2 and got["s"].n_nulls == 1
+    assert got["v"].n_distinct == 2  # nulls excluded, 7.5 deduped
+    assert got["v"].min_value == "5.0"
+    # approx mode returns the same shape (values within HLL error)
+    ap = {r["column"]: r for r in profile_table(df, approx=True).collect()}
+    assert set(ap) == set(got) and ap["id"].n_rows == 4
+    # subset + plan shape: one aggregate pass (a single Expand node, no
+    # per-column jobs)
+    sub = profile_table(df, ["id", "v"])
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    assert {r["column"] for r in sub.collect()} == {"id", "v"}
+    with pytest.raises(ValueError):
+        profile_table(df, [])
+
+
 def test_bm25_topk_ranks_and_plan(spark):
     from biocurator_mapper_spark.operators.retrieval import bm25_topk
     from biocurator_mapper_spark.plans.inspect import _plan_string
