@@ -972,6 +972,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return paragraph_dedup(d, "doc_id", "text")
 
+    def dedup_incremental(spark, sf_dir):
+        # production incremental shape: docs < 250 are the stored corpus
+        # (only their SAVED signature state participates), docs >= 250 are
+        # the arriving increment; greedy first-wins — a new doc is dropped
+        # iff some smaller-id doc (stored or in-increment) pairs with it.
+        # The oracle replays the batch LSH-pair rule over the full corpus.
+        from biocurator_mapper_spark.operators.dedup import (
+            incremental_dedup,
+            signature_state,
+        )
+
+        d = _docs(spark, sf_dir)
+        state = signature_state(d.where(F.col("doc_id") < 250), "doc_id", "text")
+        kept, _state = incremental_dedup(
+            d.where(F.col("doc_id") >= 250), state, "doc_id", "text"
+        )
+        return kept.select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
+
     def profile_documents(spark, sf_dir):
         # one-pass deequ-style table profile (row/null/exact-distinct/min/
         # max per column) — single EXPAND+hash-agg job, tidy-unpivoted
@@ -1203,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": dedup_paragraphs,
         "train_shuffle_order": train_shuffle_order,
         "profile_documents": profile_documents,
+        "dedup_incremental": dedup_incremental,
         # --- no driver row in r4 (driver-green r3 or earlier) ------------
         "dedup_simhash": dedup_simhash,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -2409,6 +2428,12 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_real": _bpe_real_sql(),
         "sample_temperature": _temperature_sample_sql(),
         "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
+        "dedup_incremental": (
+            f"WITH {_minhash_pairs_ctes(16, 4, 0.5)} "
+            "SELECT d.doc_id, d.source, d.n_chars::BIGINT AS n_chars "
+            "FROM documents d WHERE d.doc_id >= 250 AND NOT EXISTS "
+            "(SELECT 1 FROM mh_pairs p WHERE p.id_b = d.doc_id)"
+        ),
         "profile_documents": """
             SELECT 'doc_id' AS "column", count(*)::BIGINT AS n_rows,
                    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,

@@ -745,3 +745,129 @@ def paragraph_dedup(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------- incremental dedup
+
+
+def signature_state(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, _bands array<string>, _sh array<long>) — each document's LSH
+    state (band keys in band order + the exact-verify 60-bit hash set),
+    compacted to ONE catalog row per doc. Store it next to the curated
+    corpus (e.g. ``ParquetCatalog.merge_upsert`` keyed on the id) so later
+    increments dedup against the store WITHOUT re-hashing history.
+    Identical seeds/keys to ``minhash_lsh_pairs``, so stored and fresh
+    signatures always agree."""
+    rows_per_band = num_hashes // bands
+    exploded = _hashed_shingle_rows(df, id_col, text_col, n)
+    hm = (F.col("h") % MINHASH_MOD).alias("hm")
+    sigs = exploded.select("_id", hm).groupBy("_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(
+                f"mh_{i}"
+            )
+            for i, (a, b) in enumerate(_MINHASH_AB[:num_hashes])
+        ]
+    )
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    sets = exploded.groupBy("_id").agg(F.collect_list("h").alias("_sh"))
+    return (
+        sigs.select("_id", band_arr.alias("_bands"))
+        .join(sets, "_id")
+        .select(F.col("_id").alias(id_col), "_bands", "_sh")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """(kept_new_docs, kept_new_state) — dedup an INCREMENT against the
+    stored corpus without re-hashing history (the production shape: per
+    batch, only the batch is shingled/hashed; the store contributes its
+    saved band keys and hash sets).
+
+    Greedy first-wins rule, matching the batch formulation exactly: a new
+    doc is dropped iff it is a verified near-duplicate (Jaccard ≥
+    threshold over the exact hash sets) of ANY stored doc or of an
+    EARLIER-id doc within the same increment — i.e. precisely the batch
+    LSH pairs (a, b) with a < b restricted to b ∈ increment, which is what
+    the DuckDB oracle replays over the full corpus. Candidates come only
+    from band collisions (new×stored and new×new); nothing is all-pairs.
+    Merge ``kept_new_state`` into the store (e.g. catalog MERGE keyed on
+    the id) to complete the increment."""
+    new_state = signature_state(
+        new_docs, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+    )
+    # localCheckpoint: kept_new_state is new_state minus drops, and both
+    # the band explode and the verify sets consume it — freeze the
+    # increment's (small) state once instead of re-hashing per consumer
+    new_state = new_state.localCheckpoint(eager=False)
+
+    def _explode_bands(st: DataFrame, out_id: str) -> DataFrame:
+        return st.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode("_bands").alias("band_no", "band_val"),
+        )
+
+    nb = _explode_bands(new_state, "_nid")
+    ob = _explode_bands(state, "_oid")
+    ns = new_state.select(F.col(id_col).alias("_nid"), F.col("_sh").alias("_shn"))
+    os_ = state.select(F.col(id_col).alias("_oid"), F.col("_sh").alias("_sho"))
+
+    def _verified(cands: DataFrame, other_sets: DataFrame, other_id: str, other_sh: str) -> DataFrame:
+        inter = F.size(F.array_intersect(F.col("_shn"), F.col(other_sh)))
+        union = F.size("_shn") + F.size(other_sh) - inter
+        return (
+            cands.join(ns, "_nid")
+            .join(other_sets, other_id)
+            .where(
+                F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0))
+                >= F.lit(float(threshold))
+            )
+            .select("_nid")
+        )
+
+    cross = (
+        nb.join(ob, ["band_no", "band_val"]).select("_nid", "_oid").distinct()
+    )
+    nb2 = nb.select(
+        F.col("_nid").alias("_nid2"), "band_no", "band_val"
+    )
+    within = (
+        nb.join(nb2, ["band_no", "band_val"])
+        .where(F.col("_nid2") < F.col("_nid"))
+        .select("_nid", "_nid2")
+        .distinct()
+    )
+    ns2 = ns.select(F.col("_nid").alias("_nid2"), F.col("_shn").alias("_shn2"))
+    dropped = (
+        _verified(cross, os_, "_oid", "_sho")
+        .union(_verified(within, ns2, "_nid2", "_shn2"))
+        .distinct()
+        .select(F.col("_nid").alias(id_col))
+    )
+    kept = new_docs.join(dropped, id_col, "left_anti")
+    kept_state = new_state.join(dropped, id_col, "left_anti")
+    return kept, kept_state

@@ -105,6 +105,41 @@ def test_ngram_jaccard_size_prefilter_is_result_identical(spark, docs):
     assert on == off and on
 
 
+def test_incremental_dedup_matches_batch_rule(spark, docs):
+    """Dedup of an increment against stored signatures must reproduce the
+    batch LSH-pair rule exactly: a new doc is dropped iff some smaller-id
+    doc (stored or in-increment) pairs with it at Jaccard ≥ threshold —
+    and only the increment gets hashed (the stored side contributes saved
+    state)."""
+    from biocurator_mapper_spark.operators.dedup import (
+        incremental_dedup,
+        signature_state,
+    )
+
+    split = 20
+    old = docs.where(F.col("doc_id") < split)
+    new = docs.where(F.col("doc_id") >= split)
+    # batch ground truth over the FULL corpus
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+        ).collect()
+    }
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    expect_dropped = {b for _, b in pairs if b in new_ids}
+    state = signature_state(old, "doc_id", "text")
+    kept, kept_state = incremental_dedup(new, state, "doc_id", "text")
+    got_kept = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert got_kept == new_ids - expect_dropped
+    # the state to merge covers exactly the kept docs, same schema as stored
+    st = {r.doc_id for r in kept_state.select("doc_id").collect()}
+    assert st == got_kept
+    assert kept_state.columns == state.columns
+    # planted exact dup of doc 0 (id 100, in the increment) must be dropped
+    assert 100 not in got_kept
+
+
 def test_paragraph_dedup_first_occurrence_wins(spark):
     """Cross-doc AND intra-doc repeated paragraphs keep only the first
     occurrence by (id, position); docs reassemble in original order;
