@@ -64,3 +64,66 @@ def streaming_simhash_marks(
     """+ 48-bit SimHash sketch per page — stateless, codegen-only; feeds the
     offline block-permutation pairing sweep."""
     return pages_stream.withColumn(out_col, simhash_expr(F.col(text_col)))
+
+
+def streaming_neardup_sink(
+    pages_stream: DataFrame,
+    catalog,
+    out_table: str,
+    state_table: str,
+    checkpoint_dir: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n_buckets: int = 64,
+    trigger: dict | None = None,
+):
+    """Streaming NEAR-duplicate dedup with durable cross-batch state: each
+    micro-batch runs ``operators.dedup.incremental_dedup`` against the
+    catalog-stored signature table (only the batch is shingled/hashed —
+    history contributes its saved band keys and hash sets), appends the
+    surviving docs to ``out_table`` and MERGEs their signatures into
+    ``state_table``. Unlike ``dropDuplicatesWithinWatermark`` this tier has
+    NO horizon: a near-duplicate arriving months later still collides with
+    the stored bands, and state lives in the catalog (bucketed parquet),
+    not in executor memory.
+
+    Replay-idempotent without transactions: both writes are keyed MERGEs,
+    and a replayed batch finds its own previously-committed signatures in
+    the store, so its docs verify as near-duplicates of themselves and the
+    batch converges to a no-op; a crash BETWEEN the two merges replays
+    into the same final state (the doc merge re-commits identical rows).
+    Returns the started StreamingQuery."""
+    from ..operators.dedup import incremental_dedup, signature_state
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        if catalog.exists(state_table):
+            state = catalog.read(state_table)
+        else:
+            # empty state with the exact schema the increment produces
+            state = signature_state(
+                batch_df.limit(0), id_col, text_col, n=n,
+                num_hashes=num_hashes, bands=bands,
+            )
+        kept, kept_state = incremental_dedup(
+            batch_df, state, id_col, text_col, n=n,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
+        )
+        # keyed MERGE for both writes (idempotent under replay); docs
+        # first, then state — see the crash-ordering argument above
+        catalog.merge_upsert(kept, out_table, [id_col], n_buckets=n_buckets)
+        catalog.merge_upsert(
+            kept_state, state_table, [id_col], n_buckets=n_buckets
+        )
+
+    return (
+        pages_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

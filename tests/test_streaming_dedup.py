@@ -103,3 +103,73 @@ def test_streaming_simhash_marks_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_streaming_neardup_sink_cross_batch_and_replay(spark, tmp_path):
+    """Near-dup dedup with durable catalog state: batch-2 near-duplicates of
+    batch-1 docs are dropped even though the exact fingerprints differ (no
+    watermark horizon — state lives in the catalog); a full replay of the
+    same input converges to the identical tables (keyed MERGEs + docs
+    verifying against their own stored signatures)."""
+    from biocurator_mapper_spark.sources.catalog import ParquetCatalog
+    from biocurator_mapper_spark.streaming.dedup import streaming_neardup_sink
+
+    import datetime as dt
+
+    ts = dt.datetime(2025, 3, 1, 8, 0, 0)
+    texts = [
+        "the quick brown fox jumps over the lazy dog while the rain falls slowly tonight",
+        "spark executors exchange shuffle blocks across the cluster network fabric every stage",
+        "ontology terms map surface mentions to canonical curies through synonym tables",
+        "streaming watermarks bound state growth for windowed aggregations over event time",
+        "columnar parquet files carry footer statistics that prune row groups at scan time",
+        "broadcast hash joins avoid shuffling the large fact side entirely when dims are small",
+    ]
+    b0 = [(f"u://a{i}", ts, None, t, "en") for i, t in enumerate(texts)]
+    base = texts[0]
+    # batch 2: one near-dup of a0 (one word appended), one exact dup text of
+    # a1 under a new url, one genuinely new doc, plus an intra-batch pair
+    fresh = (
+        "completely different content about spark shuffles and broadcast "
+        "joins at terabyte scale with adaptive execution"
+    )
+    b1 = [
+        ("u://neardup-a0", ts, None, base + " appended", "en"),
+        ("u://exactdup-a1", ts, None, texts[1], "en"),
+        ("u://fresh", ts, None, fresh, "en"),
+        ("u://fresh-twin", ts, None, fresh + " extra", "en"),
+    ]
+
+    def run(tag):
+        landing = tmp_path / f"in_{tag}"
+        landing.mkdir()
+        _land_two_batches(spark, landing, b0, b1)
+        cat = ParquetCatalog(spark, str(tmp_path / "wh_nd"))
+        stream = (
+            spark.readStream.schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing) + "/*")
+        )
+        q = streaming_neardup_sink(
+            stream, cat, "docs_nd", "state_nd",
+            str(tmp_path / f"ckpt_{tag}"), n_buckets=8,
+        )
+        q.awaitTermination(180)
+        return cat
+
+    cat = run("one")
+    urls = {r.url for r in cat.read("docs_nd").select("url").collect()}
+    assert {f"u://a{i}" for i in range(6)} <= urls        # batch 1 all kept
+    assert "u://fresh" in urls                            # new content kept
+    assert "u://neardup-a0" not in urls                   # near-dup dropped
+    assert "u://exactdup-a1" not in urls                  # exact dup dropped
+    assert "u://fresh-twin" not in urls                   # intra-batch near-dup
+    state_urls = {r.url for r in cat.read("state_nd").select("url").collect()}
+    assert state_urls == urls                             # state == kept docs
+
+    # REPLAY the identical input through a fresh stream/checkpoint into the
+    # SAME catalog: everything now collides with its own stored signatures,
+    # so both tables are unchanged
+    cat2 = run("two")
+    assert {r.url for r in cat2.read("docs_nd").select("url").collect()} == urls
+    assert {r.url for r in cat2.read("state_nd").select("url").collect()} == urls
