@@ -972,6 +972,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return paragraph_dedup(d, "doc_id", "text")
 
+    def pack_materialize(spark, sf_dir):
+        # the actual packed training sequences (512-token windows of the
+        # id-ordered concatenated token stream; docs split at boundaries)
+        from biocurator_mapper_spark.operators.packing import (
+            materialize_sequences,
+        )
+
+        toks = F.filter(
+            F.split(F.lower(F.col("text")), r"[^a-z0-9']+"),
+            lambda t: t != "",
+        )
+        return materialize_sequences(
+            _docs(spark, sf_dir), "doc_id", toks, ctx_len=512
+        )
+
     def dedup_incremental(spark, sf_dir):
         # production incremental shape: docs < 250 are the stored corpus
         # (only their SAVED signature state participates), docs >= 250 are
@@ -1222,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_shuffle_order": train_shuffle_order,
         "profile_documents": profile_documents,
         "dedup_incremental": dedup_incremental,
+        "pack_materialize": pack_materialize,
         # --- no driver row in r4 (driver-green r3 or earlier) ------------
         "dedup_simhash": dedup_simhash,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -2428,6 +2444,19 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_real": _bpe_real_sql(),
         "sample_temperature": _temperature_sample_sql(),
         "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
+        "pack_materialize": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            allt AS (SELECT flatten(list(t ORDER BY doc_id)) AS ts FROM toks),
+            seqs AS (SELECT unnest(range((len(ts) + 511) // 512)) AS seq_id, ts FROM allt)
+            SELECT seq_id::BIGINT AS seq_id,
+                   len(ts[seq_id*512+1 : (seq_id+1)*512])::BIGINT AS n_tokens,
+                   array_to_string(ts[seq_id*512+1 : (seq_id+1)*512], ' ') AS seq_text
+            FROM seqs
+        """,
         "dedup_incremental": (
             f"WITH {_minhash_pairs_ctes(16, 4, 0.5)} "
             "SELECT d.doc_id, d.source, d.n_chars::BIGINT AS n_chars "

@@ -142,3 +142,75 @@ def shuffle_rank(
         F.col(id_col),
         F.col("cum_before").alias("shuffle_rank"),
     )
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    id_col: str,
+    tokens_arr: Column,
+    ctx_len: int,
+    num_ranges: int | None = None,
+    sep: str = " ",
+) -> DataFrame:
+    """(seq_id, n_tokens, seq_text) — the actual packed training sequences:
+    sequence k holds tokens [k·ctx_len, (k+1)·ctx_len) of the id-ordered
+    concatenated token stream (the last sequence may be short). Documents
+    spanning a boundary are SPLIT across sequences, GPT-style.
+
+    ``tokens_arr`` is the tokenization expression (array<string>) — pass
+    the same tokenizer the counting/packing used. Plan: prefix sum over
+    token counts (the distributed scan), one explode of each doc's
+    (start_seq..end_seq) span — ≤ n_tokens/ctx_len + 1 rows per doc, so
+    total explode output ≈ corpus tokens / ctx_len + n_docs — then ONE
+    shuffle keyed on seq_id (balanced: every sequence is the same size by
+    construction) to assemble fragments in stream order."""
+    if ctx_len <= 0:
+        raise ValueError("ctx_len must be positive")
+    base = docs.select(
+        F.col(id_col), tokens_arr.alias("_toks")
+    ).withColumn("_nt", F.size("_toks").cast("bigint"))
+    pre = ordered_prefix_sum(
+        base.where(F.col("_nt") > 0), [id_col], "_nt", num_ranges
+    )
+    cum = F.col("cum_before")
+    start_seq = F.floor(cum / ctx_len).cast("bigint")
+    end_seq = F.floor((cum + F.col("_nt") - 1) / ctx_len).cast("bigint")
+    spans = pre.select(
+        cum.alias("_cum"),
+        "_toks",
+        "_nt",
+        F.explode(F.sequence(start_seq, end_seq)).alias("seq_id"),
+    )
+    # fragment of this doc's tokens that falls inside seq_id (0-based
+    # offsets within the doc; F.slice is 1-based)
+    frag_start = F.greatest(
+        F.col("seq_id") * ctx_len - F.col("_cum"), F.lit(0).cast("bigint")
+    )
+    frag_end = F.least(
+        F.col("_nt"), (F.col("seq_id") + 1) * ctx_len - F.col("_cum")
+    )
+    frags = spans.select(
+        "seq_id",
+        "_cum",
+        F.slice(
+            "_toks",
+            (frag_start + 1).cast("int"),
+            (frag_end - frag_start).cast("int"),
+        ).alias("_frag"),
+    )
+    return (
+        frags.groupBy("seq_id")
+        .agg(
+            F.sum(F.size("_frag")).cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_cum", "_frag"))),
+                        lambda x: x["_frag"],
+                    )
+                ),
+                sep,
+            ).alias("seq_text"),
+        )
+        .select("seq_id", "n_tokens", "seq_text")
+    )

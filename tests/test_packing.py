@@ -106,6 +106,45 @@ def test_shuffle_rank_is_seeded_permutation(spark):
     assert a != c
 
 
+def test_materialize_sequences_round_trip(spark):
+    """Concatenating the materialized sequences in seq order reproduces the
+    id-ordered token stream exactly; every sequence except the last is
+    ctx_len tokens; boundary-spanning docs are split correctly."""
+    from biocurator_mapper_spark.operators.packing import materialize_sequences
+
+    rows = [
+        (1, "a b c"),
+        (2, "d e"),
+        (3, ""),          # empty: contributes nothing
+        (4, "f g h i j"),  # spans the 4-token boundary
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9']+"), lambda t: t != "")
+    out = {
+        r.seq_id: (r.n_tokens, r.seq_text)
+        for r in materialize_sequences(df, "doc_id", toks, ctx_len=4, num_ranges=3).collect()
+    }
+    assert out == {
+        0: (4, "a b c d"),
+        1: (4, "e f g h"),
+        2: (2, "i j"),
+    }
+
+    # corpus round trip at an awkward ctx
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seqs = materialize_sequences(docs, "doc_id", toks, ctx_len=97).collect()
+    stream = " ".join(s.seq_text for s in sorted(seqs, key=lambda r: r.seq_id))
+    want = " ".join(
+        t
+        for r in sorted(docs.select("doc_id", "text").collect(), key=lambda r: r.doc_id)
+        for t in __import__("re").split(r"[^a-z0-9']+", (r.text or "").lower())
+        if t != ""
+    )
+    assert stream == want
+    lens = [s.n_tokens for s in sorted(seqs, key=lambda r: r.seq_id)]
+    assert all(n == 97 for n in lens[:-1]) and 0 < lens[-1] <= 97
+
+
 def test_pack_sequences_no_global_single_partition_window(spark):
     """The corpus-wide window must be partitioned (parallel); only the
     per-range-totals window (p rows) may be partitionless."""
