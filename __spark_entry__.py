@@ -735,6 +735,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # train/eval decontamination primitive: cross-corpus LSH pairs
         return _cross_pairs(spark, sf_dir)
 
+    def dedup_contamination_report(spark, sf_dir):
+        # release-audit view of the same relation: per contaminated
+        # benchmark doc, how many corpus near-dups and the worst overlap
+        return (
+            _cross_pairs(spark, sf_dir)
+            .groupBy("benchmark_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_contaminated"),
+                F.max("jaccard").alias("max_jaccard"),
+            )
+        )
+
     def text_lm_score(spark, sf_dir):
         # CCNet-style char-LM quality signal: mean quantized conditional
         # trigram probability under a model trained on the corpus itself
@@ -1238,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": profile_documents,
         "dedup_incremental": dedup_incremental,
         "pack_materialize": pack_materialize,
+        "dedup_contamination_report": dedup_contamination_report,
         # --- no driver row in r4 (driver-green r3 or earlier) ------------
         "dedup_simhash": dedup_simhash,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -2298,6 +2311,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_CORPUS_COND}
               AND doc_id NOT IN (SELECT corpus_id FROM cross_pairs)
         """,
+        "dedup_contamination_report": (
+            f"WITH {_cross_minhash_ctes(16, 4, 0.5)} "
+            "SELECT benchmark_id, count(*)::BIGINT AS n_contaminated, "
+            "max(jaccard) AS max_jaccard FROM cross_pairs GROUP BY benchmark_id"
+        ),
         "text_lm_score": """
             -- mirrors operators/lm_quality.py: trigram MLE model over the
             -- corpus, per-doc mean of integer-quantized P(c3|c1c2)
