@@ -81,6 +81,33 @@ def test_pack_sequences_many_ranges_and_skew(spark):
     assert got == want
 
 
+def test_ordered_prefix_sum_randomized_vs_naive(spark):
+    """Seeded randomized differential: arbitrary (negative, sparse, shuffled)
+    ids, zero-heavy values, and adversarial num_ranges must all reproduce
+    the naive global-window exclusive prefix sum exactly."""
+    import random
+
+    from biocurator_mapper_spark.operators.packing import ordered_prefix_sum
+
+    rng = random.Random(42)
+    for case in range(5):
+        n = rng.randint(1, 300)
+        ids = rng.sample(range(-10_000, 10_000), n)
+        rows = [(i, rng.choice([0, 0, 1, 3, rng.randint(0, 500)])) for i in ids]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "doc_id long, v long")
+        p = rng.choice([1, 2, 7, 64, 301])
+        got = {
+            r.doc_id: r.cum_before
+            for r in ordered_prefix_sum(df, ["doc_id"], "v", num_ranges=p).collect()
+        }
+        acc, want = 0, {}
+        for i, v in sorted(rows):
+            want[i] = acc
+            acc += v
+        assert got == want, f"case {case} (n={n}, p={p})"
+
+
 def test_shuffle_rank_is_seeded_permutation(spark):
     from biocurator_mapper_spark.operators.packing import shuffle_rank
 
