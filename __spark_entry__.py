@@ -827,6 +827,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cosine", "certainty",
         )
 
+    def sim_ann_ivf_indexed(spark, sf_dir):
+        # the PERSISTENT form of the same search: build the IVF index into
+        # a catalog (quantizer table + centroid-partitioned postings), then
+        # search the stored index — same seed/corpus ⇒ relation identical
+        # to the fresh ivf_topk, so it shares that VALUES oracle.
+        import tempfile
+
+        from biocurator_mapper_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_index_search,
+        )
+        from biocurator_mapper_spark.sources.catalog import ParquetCatalog
+
+        emb = _read(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        )
+        c = emb.select(
+            F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_embedding")
+        )
+        cat = ParquetCatalog(spark, tempfile.mkdtemp(prefix="bcms_ivf_"))
+        build_ivf_index(cat, "emb", c, n_centroids=16, seed=7)
+        out = ivf_index_search(cat, "emb", q, k=5, nprobe=4)
+        return out.select(
+            "query_id", "corpus_id", F.col("rank").cast("bigint").alias("rank"),
+            "cosine", "certainty",
+        )
+
     def emb_near_dup_pairs(spark, sf_dir):
         # LSH-bucketed embedding near-dup self-join (the scale path whose
         # exact-slice twin is emb_cosine_pairs_exact) — bucket generation
@@ -1251,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "pack_materialize": pack_materialize,
         "dedup_contamination_report": dedup_contamination_report,
+        "sim_ann_ivf_indexed": sim_ann_ivf_indexed,
         # --- no driver row in r4 (driver-green r3 or earlier) ------------
         "dedup_simhash": dedup_simhash,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -2412,6 +2441,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_ann_lsh_topk": _lsh_topk_sql(),
         "sim_ann_ivf_topk": _ivf_topk_sql(),
+        # stored-index search is relation-identical to the fresh run (same
+        # seed, same corpus, same quantized arithmetic) — same oracle
+        "sim_ann_ivf_indexed": _ivf_topk_sql(),
         "text_token_count": """
             SELECT doc_id,
                    len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))

@@ -383,3 +383,130 @@ def emb_dedup_clusters(
         threshold=threshold, n_planes=n_planes, n_tables=n_tables, seed=seed,
     )
     return clusters_from_pairs(df, pairs, id_col)
+
+
+# ------------------------------------------------------ persistent IVF index
+
+
+def build_ivf_index(
+    catalog,
+    index_name: str,
+    corpus: DataFrame,
+    corpus_id_col: str = "corpus_id",
+    corpus_vec: str = "c_embedding",
+    n_centroids: int = 16,
+    train_sample: int = 10_000,
+    seed: int = 7,
+) -> int:
+    """Materialize a persistent IVF index into the catalog — the
+    vector-database shape the reference delegates to Weaviate
+    (app/ontology_searcher.py), built from the engine's own pieces:
+
+    - ``<name>_centroids``: (centroid_id, centroid array<long>) — the
+      quantized coarse quantizer (dimension-sized);
+    - ``<name>_postings``: the inverted lists — every corpus row tagged
+      with its nearest centroid, written PARTITIONED BY centroid_id so a
+      probe of ``nprobe`` lists reads only those partitions (partition
+      pruning does at rest what the centroid-id shuffle does in flight).
+
+    Build once, search many; rebuild after corpus churn (or MERGE new rows
+    into the postings by id — assignment is per-row and order-free).
+    Returns the number of centroids written."""
+    spark = corpus.sparkSession
+    qcents = ivf_centroids(
+        corpus, corpus_id_col, corpus_vec, n_centroids, train_sample, seed
+    )
+    rows = [(int(i), [int(x) for x in row]) for i, row in enumerate(qcents)]
+    cent_df = spark.createDataFrame(
+        rows, "centroid_id int, centroid array<bigint>"
+    )
+    catalog.write_replace(cent_df, f"{index_name}_centroids")
+    if qcents.size:
+        bc = spark.sparkContext.broadcast(qcents)
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def _assign1(vecs: pd.Series) -> pd.Series:
+            qc = bc.value
+            mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).values)
+            sims = quantize(mat) @ qc.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :1]
+            return pd.Series([[int(i) for i in row] for row in top])
+
+        postings = corpus.withColumn(
+            "centroid_id", F.explode_outer(_assign1(F.col(corpus_vec)))
+        )
+    else:
+        postings = corpus.withColumn("centroid_id", F.lit(None).cast("int"))
+    catalog.write_replace(
+        postings, f"{index_name}_postings", partition_by=["centroid_id"]
+    )
+    return len(rows)
+
+
+def ivf_index_search(
+    catalog,
+    index_name: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec: str = "q_embedding",
+    corpus_id_col: str = "corpus_id",
+    corpus_vec: str = "c_embedding",
+) -> DataFrame:
+    """Search a stored IVF index: queries probe their ``nprobe`` nearest
+    stored centroids and join the PARTITIONED postings on centroid_id —
+    dynamic partition pruning keeps unprobed inverted lists unread — then
+    exact cosine re-scores and a per-query window keeps k. Produces the
+    same relation as a fresh ``ivf_topk`` run with the same
+    centroids/seed (pinned in tests)."""
+    spark = queries.sparkSession
+    cent_rows = sorted(
+        catalog.read(f"{index_name}_centroids").collect(),
+        key=lambda r: r.centroid_id,
+    )
+    if not cent_rows:
+        return (
+            queries.select(
+                F.col(query_id_col),
+                F.lit(None).cast("string").alias(corpus_id_col),
+                F.lit(0).alias("rank"),
+                F.lit(0.0).alias("cosine"),
+                F.lit(0.0).alias("certainty"),
+            ).where(F.lit(False))
+        )
+    qcents = np.array([r.centroid for r in cent_rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast(qcents)
+    npb = min(nprobe, len(cent_rows))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _probe(vecs: pd.Series) -> pd.Series:
+        qc = bc.value
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).values)
+        sims = quantize(mat) @ qc.T
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+        return pd.Series([[int(i) for i in row] for row in top])
+
+    q_assigned = queries.withColumn(
+        "centroid_id", F.explode_outer(_probe(F.col(query_vec)))
+    )
+    postings = catalog.read(f"{index_name}_postings")
+    cands = (
+        q_assigned.join(postings, "centroid_id")
+        .drop("centroid_id")
+        .withColumn("cosine", cosine_expr(query_vec, corpus_vec))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(corpus_id_col)
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            corpus_id_col,
+            "rank",
+            "cosine",
+            certainty_expr(F.col("cosine")).alias("certainty"),
+        )
+    )

@@ -84,6 +84,54 @@ def test_cosine_expr_string_form_bit_identical(spark):
     assert fast[1] == 0.0
 
 
+def test_ivf_index_build_search_matches_fresh_ivf_topk(spark, tmp_path):
+    """A stored IVF index (catalog centroids + centroid-partitioned
+    postings) must return the identical relation as a fresh ivf_topk run
+    with the same seed/params, and the postings must actually be laid out
+    partitioned by centroid_id."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_search,
+        ivf_topk,
+    )
+    from biocurator_mapper_spark.sources.catalog import ParquetCatalog
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    cat = ParquetCatalog(spark, str(tmp_path / "wh_ivf"))
+    n = build_ivf_index(cat, "emb_idx", corpus, n_centroids=8, seed=7)
+    assert n == 8
+
+    got = {
+        (r.query_id, r.rank): (r.corpus_id, r.cosine)
+        for r in ivf_index_search(cat, "emb_idx", queries, k=5, nprobe=3).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.corpus_id, r.cosine)
+        for r in ivf_topk(
+            queries, corpus, dim=64, k=5, n_centroids=8, nprobe=3, seed=7
+        ).collect()
+    }
+    assert got == want and got
+
+    # physical layout: hive-style centroid_id=N partition dirs exist
+    postings_dir = cat.read("emb_idx_postings")  # readable
+    assert postings_dir.count() == corpus.count()
+    version = cat.current_version("emb_idx_postings")
+    table_dir = os.path.join(str(tmp_path / "wh_ivf"), "emb_idx_postings", version)
+    parts = [d for d in os.listdir(table_dir) if d.startswith("centroid_id=")]
+    assert len(parts) >= 2
+
+
 def test_embedding_cosine_pairs_planted_dup(spark):
     rng = np.random.default_rng(3)
     base = rng.standard_normal(DIM)
