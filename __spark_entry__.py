@@ -735,6 +735,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # train/eval decontamination primitive: cross-corpus LSH pairs
         return _cross_pairs(spark, sf_dir)
 
+    def dedup_substring_candidates(spark, sf_dir):
+        # exact-substring tier (Lee et al. / MOSS winnowing): docs sharing
+        # any normalized run ≥ w+k-1 = 49 chars share a winnowed anchor —
+        # complete candidate generation for long lifted passages that
+        # whole-doc MinHash can't see
+        from biocurator_mapper_spark.operators.dedup import (
+            substring_dup_candidates,
+        )
+
+        return substring_dup_candidates(
+            _docs(spark, sf_dir), "doc_id", "text", k=20, w=30
+        )
+
     def dedup_contamination_report(spark, sf_dir):
         # release-audit view of the same relation: per contaminated
         # benchmark doc, how many corpus near-dups and the worst overlap
@@ -1280,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_materialize": pack_materialize,
         "dedup_contamination_report": dedup_contamination_report,
         "sim_ann_ivf_indexed": sim_ann_ivf_indexed,
+        "dedup_substring_candidates": dedup_substring_candidates,
         # --- no driver row in r4 (driver-green r3 or earlier) ------------
         "dedup_simhash": dedup_simhash,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -2339,6 +2353,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE {_CORPUS_COND}
               AND doc_id NOT IN (SELECT corpus_id FROM cross_pairs)
+        """,
+        "dedup_substring_candidates": """
+            WITH s AS (SELECT doc_id,
+                              trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')) AS s
+                       FROM documents),
+            h AS (
+              SELECT doc_id,
+                CASE WHEN length(s) - 19 >= 1 THEN
+                  list_transform(range(1, length(s) - 19 + 1),
+                                 i -> ('0x' || substring(md5(substring(s, i, 20)), 1, 15))::BIGINT)
+                ELSE [] END AS hs
+              FROM s
+            ),
+            an AS (
+              SELECT doc_id,
+                CASE WHEN len(hs) >= 30 THEN
+                       list_distinct(list_transform(range(1, len(hs) - 29 + 1), j -> list_min(hs[j : j+29])))
+                     WHEN len(hs) >= 1 THEN [list_min(hs)]
+                     ELSE [] END AS anchors
+              FROM h
+            ),
+            rows_ AS (SELECT doc_id, unnest(anchors) AS a FROM an),
+            hot AS (SELECT a FROM rows_ GROUP BY a HAVING count(*) > 256),
+            r2 AS (SELECT * FROM rows_ WHERE a NOT IN (SELECT a FROM hot))
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*)::BIGINT AS n_shared_anchors
+            FROM r2 x JOIN r2 y ON x.a = y.a AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
         """,
         "dedup_contamination_report": (
             f"WITH {_cross_minhash_ctes(16, 4, 0.5)} "

@@ -871,3 +871,102 @@ def incremental_dedup(
     kept = new_docs.join(dropped, id_col, "left_anti")
     kept_state = new_state.join(dropped, id_col, "left_anti")
     return kept, kept_state
+
+
+# --------------------------------------------------- winnowing / substring
+
+
+def winnow_anchors_expr(text: Column, k: int = 20, w: int = 30) -> Column:
+    """Winnowed fingerprint anchors of the normalized text — the MOSS /
+    exact-substring-dedup scheme: hash every character ``k``-gram, then in
+    every window of ``w`` consecutive k-gram hashes keep the minimum;
+    distinct kept hashes are the document's anchors.
+
+    GUARANTEE (Schleimer et al., SIGMOD'03): two documents sharing any
+    normalized substring of length ≥ w + k − 1 share at least one anchor
+    VALUE — so anchor-bucket collisions are a complete candidate generator
+    for exact repeated spans of that length, the tier word-shingle MinHash
+    cannot see (it detects whole-document similarity, not a long common
+    run inside otherwise-different docs).
+
+    Expression shape: one normalize, one k-gram hash array (md5→60-bit
+    long per position, bound once via let_expr), one windowed-min pass
+    (slice+array_min per window — O(n·w) expression work, fine at contract
+    scale and ORACLE-REPLICABLE in SQL; a production 100 TB pass would do
+    the same two arrays in one Arrow stage with a monotonic-deque rolling
+    minimum, same output). Docs shorter than k chars yield no anchors;
+    docs with < w k-grams yield one anchor (min of all their hashes)."""
+    from ..functions.exprs import let_expr
+
+    def _with_s(s: Column) -> Column:
+        n = F.length(s)
+        m = n - F.lit(k - 1)  # k-gram count
+
+        def _with_hashes(hs: Column) -> Column:
+            nh = F.size(hs)
+            windows = F.transform(
+                F.sequence(F.lit(1), nh - F.lit(w - 1)),
+                lambda j: F.array_min(F.slice(hs, j, w)),
+            )
+            return F.when(nh >= w, F.array_distinct(windows)).otherwise(
+                F.when(
+                    nh >= 1, F.array(F.array_min(hs))
+                ).otherwise(F.array().cast("array<long>"))
+            )
+
+        hashes = F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(0))),
+            lambda i: shingle_hash_expr(s.substr(i, F.lit(k))),
+        )
+        return F.when(m >= 1, let_expr(hashes, _with_hashes)).otherwise(
+            F.array().cast("array<long>")
+        )
+
+    s = F.trim(F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9]+", " "))
+    return let_expr(s, _with_s)
+
+
+def substring_dup_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    w: int = 30,
+    max_anchor_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """(id_a, id_b, n_shared_anchors) — pairs of documents sharing ≥ 1
+    winnowed anchor, i.e. the COMPLETE candidate set for exact shared
+    normalized substrings of length ≥ w + k − 1 characters (boilerplate
+    licences, templated footers, lifted passages). The verify/cut step —
+    extracting the actual shared spans — is per-pair work downstream;
+    this relation is the scale-critical part.
+
+    Same safety valves as the shingle family: hub anchors past
+    ``max_anchor_df`` are dropped (a site-wide footer would otherwise
+    contribute O(df²) pairs), and the anchor rows repartition when the
+    source is under-split."""
+    from ..functions.partitions import estimated_source_partitions
+
+    spark = df.sparkSession
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(winnow_anchors_expr(F.col(text_col), k, w)).alias("a"),
+    ).where(F.col("a").isNotNull())
+    default_p = spark.sparkContext.defaultParallelism
+    if estimated_source_partitions(df) < max(default_p // 2, 1):
+        rows = rows.repartition(default_p)
+    if max_anchor_df is not None:
+        hot = (
+            rows.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_anchor_df)
+        )
+        rows = rows.join(F.broadcast(hot.select("a")), "a", "left_anti")
+    a = rows.withColumnRenamed("_id", "id_a")
+    b = rows.withColumnRenamed("_id", "id_b")
+    return (
+        a.join(b, "a")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_anchors"))
+    )

@@ -105,6 +105,61 @@ def test_ngram_jaccard_size_prefilter_is_result_identical(spark, docs):
     assert on == off and on
 
 
+def test_winnow_substring_candidates_guarantee(spark):
+    """The winnowing guarantee: docs sharing an exact normalized substring
+    of length ≥ w+k-1 ALWAYS share an anchor (candidate pair emitted);
+    docs with no long common run produce no pair; sub-k docs yield no
+    anchors."""
+    import random
+
+    from biocurator_mapper_spark.operators.dedup import (
+        substring_dup_candidates,
+        winnow_anchors_expr,
+    )
+
+    k, w = 20, 30
+    run_len = w + k - 1  # 49 chars — the guaranteed-detection threshold
+    rng = random.Random(9)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    shared = rand_text(run_len)
+    rows = [
+        (1, rand_text(120) + shared + rand_text(120)),
+        (2, rand_text(200) + shared),          # same run, different context
+        (3, rand_text(400)),                   # unrelated
+        (4, rand_text(400)),                   # unrelated
+        (5, "tiny"),                           # < k chars: no anchors
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared_anchors
+        for r in substring_dup_candidates(df, "doc_id", "text", k=k, w=w).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(p == (1, 2) for p in pairs)  # no spurious pairs on this corpus
+    anchors = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", F.size(winnow_anchors_expr(F.col("text"), k, w)).alias("n")
+        ).collect()
+    }
+    assert anchors[5] == 0
+    assert anchors[1] > 0
+
+    # seeded property sweep: a planted run at EXACTLY the threshold length
+    # is always caught, wherever it lands
+    for trial in range(5):
+        sh = rand_text(run_len)
+        a = rand_text(rng.randint(60, 300)) + sh + rand_text(rng.randint(0, 300))
+        b = rand_text(rng.randint(0, 300)) + sh + rand_text(rng.randint(60, 300))
+        d2 = spark.createDataFrame([(10, a), (20, b)], "doc_id long, text string")
+        got = substring_dup_candidates(d2, "doc_id", "text", k=k, w=w).collect()
+        assert any((r.id_a, r.id_b) == (10, 20) for r in got), f"trial {trial}"
+
+
 def test_incremental_dedup_matches_batch_rule(spark, docs):
     """Dedup of an increment against stored signatures must reproduce the
     batch LSH-pair rule exactly: a new doc is dropped iff some smaller-id
