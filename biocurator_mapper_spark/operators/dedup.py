@@ -933,6 +933,7 @@ def substring_dup_candidates(
     k: int = 20,
     w: int = 30,
     max_anchor_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, n_shared_anchors) — pairs of documents sharing ≥ 1
     winnowed anchor, i.e. the COMPLETE candidate set for exact shared
@@ -941,17 +942,23 @@ def substring_dup_candidates(
     extracting the actual shared spans — is per-pair work downstream;
     this relation is the scale-critical part.
 
-    Same safety valves as the shingle family: hub anchors past
-    ``max_anchor_df`` are dropped (a site-wide footer would otherwise
-    contribute O(df²) pairs), and the anchor rows repartition when the
-    source is under-split."""
+    ``use_arrow`` (default) computes anchors in one Arrow-batched stage
+    with an O(n) rolling deque; False takes the pure-expression form
+    (O(n·w) slice-mins — the SQL-oracle-shaped twin, value-identical,
+    pinned in tests). Same safety valves as the shingle family: hub
+    anchors past ``max_anchor_df`` are dropped (a site-wide footer would
+    otherwise contribute O(df²) pairs), and the anchor rows repartition
+    when the source is under-split."""
     from ..functions.partitions import estimated_source_partitions
 
     spark = df.sparkSession
-    rows = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode_outer(winnow_anchors_expr(F.col(text_col), k, w)).alias("a"),
-    ).where(F.col("a").isNotNull())
+    if use_arrow:
+        rows = winnow_anchor_rows_arrow(df, id_col, text_col, k, w)
+    else:
+        rows = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer(winnow_anchors_expr(F.col(text_col), k, w)).alias("a"),
+        ).where(F.col("a").isNotNull())
     default_p = spark.sparkContext.defaultParallelism
     if estimated_source_partitions(df) < max(default_p // 2, 1):
         rows = rows.repartition(default_p)
@@ -970,3 +977,66 @@ def substring_dup_candidates(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_anchors"))
     )
+
+
+def winnow_anchors_py(s: str, k: int = 20, w: int = 30) -> list[int]:
+    """Pure-Python twin of :func:`winnow_anchors_expr` over an ALREADY
+    normalized string: same md5-derived 60-bit k-gram hashes, same windowed
+    minima, O(n) via a monotonic deque instead of the expression's O(n·w)
+    slice-mins. Returns the distinct anchor SET (sorted); the two
+    implementations are pinned value-equal in tests."""
+    import hashlib
+    from collections import deque
+
+    n = len(s)
+    m = n - (k - 1)
+    if m < 1:
+        return []
+    hashes = [
+        int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(m)
+    ]
+    if m < w:
+        return [min(hashes)]
+    out: set[int] = set()
+    dq: deque[int] = deque()  # indices, hash values increasing
+    for i, h in enumerate(hashes):
+        while dq and hashes[dq[-1]] >= h:
+            dq.pop()
+        dq.append(i)
+        if dq[0] <= i - w:
+            dq.popleft()
+        if i >= w - 1:
+            out.add(hashes[dq[0]])
+    return sorted(out)
+
+
+def winnow_anchor_rows_arrow(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20, w: int = 30
+) -> DataFrame:
+    """(_id, a) anchor rows via ONE Arrow-batched stage — the 100 TB path
+    (linear per char; the expression form pays O(n·w) slice-mins). Values
+    identical to exploding :func:`winnow_anchors_expr`."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    # no type hints: `pd` is not a module global here and the hint checker
+    # would reject the unresolvable strings (same note as score_with_model)
+    def _anchors_fn(texts):
+        import re
+
+        import pandas as pd
+
+        collapse = re.compile(r"[^a-z0-9]+")
+        out = []
+        for t in texts:
+            s = collapse.sub(" ", (t or "").lower()).strip()
+            out.append(winnow_anchors_py(s, k, w))
+        return pd.Series(out)
+
+    _anchors = pandas_udf(_anchors_fn, ArrayType(LongType()))
+
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(_anchors(F.col(text_col))).alias("a"),
+    ).where(F.col("a").isNotNull())

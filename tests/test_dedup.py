@@ -160,6 +160,43 @@ def test_winnow_substring_candidates_guarantee(spark):
         assert any((r.id_a, r.id_b) == (10, 20) for r in got), f"trial {trial}"
 
 
+def test_winnow_arrow_path_equals_expression_path(spark):
+    """The O(n) Arrow rolling-deque anchors must be value-identical to the
+    O(n·w) expression form, per doc and end-to-end through the pair
+    generator."""
+    from biocurator_mapper_spark.operators.dedup import (
+        substring_dup_candidates,
+        winnow_anchor_rows_arrow,
+        winnow_anchors_expr,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    expr_rows = {
+        (r._id, r.a)
+        for r in docs.select(
+            F.col("doc_id").alias("_id"),
+            F.explode_outer(winnow_anchors_expr(F.col("text"))).alias("a"),
+        )
+        .where(F.col("a").isNotNull())
+        .collect()
+    }
+    arrow_rows = {
+        (r._id, r.a)
+        for r in winnow_anchor_rows_arrow(docs, "doc_id", "text").collect()
+    }
+    assert arrow_rows == expr_rows and arrow_rows
+
+    pa = {
+        (r.id_a, r.id_b): r.n_shared_anchors
+        for r in substring_dup_candidates(docs, "doc_id", "text", use_arrow=True).collect()
+    }
+    pe = {
+        (r.id_a, r.id_b): r.n_shared_anchors
+        for r in substring_dup_candidates(docs, "doc_id", "text", use_arrow=False).collect()
+    }
+    assert pa == pe
+
+
 def test_incremental_dedup_matches_batch_rule(spark, docs):
     """Dedup of an increment against stored signatures must reproduce the
     batch LSH-pair rule exactly: a new doc is dropped iff some smaller-id
