@@ -748,6 +748,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), "doc_id", "text", k=20, w=30
         )
 
+    def dedup_substring_spans(spark, sf_dir):
+        # the VERIFY step of the exact-substring tier: per candidate pair,
+        # the longest shared normalized span (length only — lengths are
+        # implementation-independent, so the oracle re-derives them with
+        # difflib, a genuinely independent LCS implementation)
+        from biocurator_mapper_spark.operators.dedup import (
+            substring_dup_candidates,
+            substring_dup_spans,
+        )
+
+        d = _docs(spark, sf_dir)
+        pairs = substring_dup_candidates(d, "doc_id", "text", k=20, w=30)
+        return substring_dup_spans(d, pairs, "doc_id", "text", min_len=49).select(
+            "id_a", "id_b", "span_len"
+        )
+
     def dedup_contamination_report(spark, sf_dir):
         # release-audit view of the same relation: per contaminated
         # benchmark doc, how many corpus near-dups and the worst overlap
@@ -1294,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_contamination_report": dedup_contamination_report,
         "sim_ann_ivf_indexed": sim_ann_ivf_indexed,
         "dedup_substring_candidates": dedup_substring_candidates,
+        "dedup_substring_spans": dedup_substring_spans,
         # --- no driver row in r4 (driver-green r3 or earlier) ------------
         "dedup_simhash": dedup_simhash,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
@@ -1994,6 +2011,65 @@ LEFT JOIN re ON re.doc_id = dd.doc_id
 """
 
 
+def _substring_spans_sql(
+    k: int = 20, w: int = 30, min_len: int = 49, max_df: int = 256
+) -> str:
+    """Oracle for dedup_substring_spans: candidate pairs re-derived with the
+    SAME winnowing kernel (winnow_anchors_py — candidate generation is the
+    shared spec), then span lengths computed with difflib's
+    find_longest_match — a genuinely INDEPENDENT longest-common-substring
+    implementation — and inlined as VALUES."""
+    import difflib
+    import os as _os
+    import re as _re
+    from collections import Counter as _Counter
+
+    import duckdb
+
+    from biocurator_mapper_spark.operators.dedup import winnow_anchors_py
+
+    sf_dir = _os.environ.get(_ORACLE_SF_DIR_ENV, "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, coalesce(text, '') FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    collapse = _re.compile(r"[^a-z0-9]+")
+    norm = {i: collapse.sub(" ", t.lower()).strip() for i, t in rows}
+    anchors = {i: winnow_anchors_py(s, k, w) for i, s in norm.items()}
+    df_count: _Counter = _Counter(a for al in anchors.values() for a in al)
+    hot = {a for a, c in df_count.items() if c > max_df}
+    buckets: dict[int, list] = {}
+    for i, al in anchors.items():
+        for a in al:
+            if a not in hot:
+                buckets.setdefault(a, []).append(i)
+    pairs = set()
+    for ids in buckets.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pairs.add((ids[x], ids[y]))
+    out = []
+    for ia, ib in sorted(pairs):
+        a, b = norm[ia], norm[ib]
+        m = difflib.SequenceMatcher(None, a, b, autojunk=False)
+        ln = m.find_longest_match(0, len(a), 0, len(b)).size
+        if ln >= min_len:
+            out.append((ia, ib, ln))
+    if not out:
+        return (
+            "SELECT NULL::BIGINT AS id_a, NULL::BIGINT AS id_b, "
+            "NULL::BIGINT AS span_len WHERE false"
+        )
+    vals = ",\n  ".join(f"({a}, {b}, {n})" for a, b, n in out)
+    return (
+        "SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, "
+        f"span_len::BIGINT AS span_len FROM (VALUES\n  {vals}\n) "
+        "AS t(id_a, id_b, span_len)"
+    )
+
+
 def _temperature_sample_sql(alpha: float = 0.5, target_rows: int = 300) -> str:
     """Oracle for sample_temperature: per-source counts read via DuckDB at
     the oracle SF, thresholds produced by the SAME pure-Python math the
@@ -2354,6 +2430,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_CORPUS_COND}
               AND doc_id NOT IN (SELECT corpus_id FROM cross_pairs)
         """,
+        "dedup_substring_spans": _substring_spans_sql(),
         "dedup_substring_candidates": """
             WITH s AS (SELECT doc_id,
                               trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')) AS s

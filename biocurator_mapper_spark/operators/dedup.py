@@ -1040,3 +1040,88 @@ def winnow_anchor_rows_arrow(
         F.col(id_col).alias("_id"),
         F.explode_outer(_anchors(F.col(text_col))).alias("a"),
     ).where(F.col("a").isNotNull())
+
+
+def longest_common_substring_py(a: str, b: str) -> str:
+    """Longest common substring via the classic rolling-row DP (O(len(a)·
+    len(b)) time, O(min) memory). Ties break to the earliest start in
+    ``a``. The per-pair verify kernel for the winnowing tier."""
+    if not a or not b:
+        return ""
+    if len(b) > len(a):
+        # DP rows sized by the shorter string; result substring of a —
+        # LCS-of-strings is symmetric so swapping is safe
+        a, b = b, a
+    best_len, best_end = 0, 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        ai = a[i - 1]
+        for j in range(1, len(b) + 1):
+            if ai == b[j - 1]:
+                v = prev[j - 1] + 1
+                cur[j] = v
+                if v > best_len:
+                    best_len, best_end = v, i
+        prev = cur
+    return a[best_end - best_len : best_end]
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 49,
+) -> DataFrame:
+    """(id_a, id_b, span_len, span) — the VERIFY step of the exact-substring
+    tier: for each candidate pair (from :func:`substring_dup_candidates`),
+    the longest shared NORMALIZED substring, kept when ≥ ``min_len``.
+
+    Scale shape: texts join onto the (already small) candidate pair
+    relation — two broadcast-or-shuffle hash joins keyed on bare ids — and
+    the O(n·m)-per-pair DP runs in one Arrow-batched stage. Pair count is
+    the winnowing tier's output (bounded by the anchor-DF cap), never
+    corpus², so quadratic-per-pair is fine exactly like the n-gram tier's
+    array_intersect verify."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+", " ")
+    )
+    texts = docs.select(F.col(id_col).alias("_tid"), norm.alias("_s"))
+
+    def _lcs_fn(a_s, b_s):
+        import pandas as pd
+
+        spans = [longest_common_substring_py(x or "", y or "") for x, y in zip(a_s, b_s)]
+        return pd.DataFrame({"span_len": [len(s) for s in spans], "span": spans})
+
+    _lcs = pandas_udf(
+        _lcs_fn,
+        StructType(
+            [
+                StructField("span_len", LongType()),
+                StructField("span", StringType()),
+            ]
+        ),
+    )
+
+    joined = (
+        pairs.select("id_a", "id_b")
+        .join(texts.select(F.col("_tid").alias("id_a"), F.col("_s").alias("_sa")), "id_a")
+        .join(texts.select(F.col("_tid").alias("id_b"), F.col("_s").alias("_sb")), "id_b")
+    )
+    out = joined.withColumn("_r", _lcs(F.col("_sa"), F.col("_sb"))).select(
+        "id_a",
+        "id_b",
+        F.col("_r.span_len").alias("span_len"),
+        F.col("_r.span").alias("span"),
+    )
+    return out.where(F.col("span_len") >= min_len)

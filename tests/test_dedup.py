@@ -197,6 +197,52 @@ def test_winnow_arrow_path_equals_expression_path(spark):
     assert pa == pe
 
 
+def test_substring_span_verify_recovers_planted_runs(spark):
+    """The LCS verify step recovers the exact planted shared span for every
+    winnowing candidate pair; the DP kernel matches difflib (independent
+    implementation) on random pairs; sub-threshold spans are filtered."""
+    import difflib
+    import random
+
+    from biocurator_mapper_spark.operators.dedup import (
+        longest_common_substring_py,
+        substring_dup_candidates,
+        substring_dup_spans,
+    )
+
+    rng = random.Random(17)
+    alpha = "abcdefghij "
+    rand = lambda n: "".join(rng.choice(alpha) for _ in range(n))  # noqa: E731
+
+    # kernel vs difflib on random pairs (length parity — difflib may pick a
+    # different equal-length span)
+    for _ in range(30):
+        a, b = rand(rng.randint(0, 80)), rand(rng.randint(0, 80))
+        got = longest_common_substring_py(a, b)
+        m = difflib.SequenceMatcher(None, a, b, autojunk=False)
+        want = m.find_longest_match(0, len(a), 0, len(b)).size
+        assert len(got) == want and (got in a and got in b or not got)
+
+    shared = "the license text every mirror of this page carries verbatim today"
+    docs_rows = [
+        (1, rand(150) + " " + shared + " " + rand(150)),
+        (2, rand(250) + " " + shared),
+        (3, rand(420)),
+    ]
+    df = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    pairs = substring_dup_candidates(df, "doc_id", "text", k=20, w=30)
+    spans = {
+        (r.id_a, r.id_b): (r.span_len, r.span)
+        for r in substring_dup_spans(df, pairs, "doc_id", "text").collect()
+    }
+    assert (1, 2) in spans
+    ln, sp = spans[(1, 2)]
+    assert shared in sp and ln >= len(shared)
+    # min_len filter: raising the bar above the span drops the pair
+    high = substring_dup_spans(df, pairs, "doc_id", "text", min_len=10_000)
+    assert high.count() == 0
+
+
 def test_incremental_dedup_matches_batch_rule(spark, docs):
     """Dedup of an increment against stored signatures must reproduce the
     batch LSH-pair rule exactly: a new doc is dropped iff some smaller-id
