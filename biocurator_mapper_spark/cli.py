@@ -121,16 +121,9 @@ def cmd_curate(args) -> int:
     if args.paragraph_dedup:
         # CCNet ordering: drop corpus-wide repeated paragraphs FIRST so
         # boilerplate doesn't inflate quality/fingerprint signals downstream
-        from .operators.dedup import paragraph_dedup
+        from .operators.dedup import paragraph_dedup_text
 
-        deduped = paragraph_dedup(docs, args.id_col, args.text_col).select(
-            args.id_col, F.col("text_dedup")
-        )
-        docs = (
-            docs.drop(args.text_col)
-            .join(deduped, args.id_col)
-            .withColumnRenamed("text_dedup", args.text_col)
-        )
+        docs = paragraph_dedup_text(docs, args.id_col, args.text_col)
     staged = curate(
         docs,
         id_col=args.id_col,
@@ -191,10 +184,16 @@ def cmd_pack(args) -> int:
     )
     packed = pack_sequences(base, args.id_col, "n_tokens", args.ctx_len)
     packed.write.mode("overwrite").parquet(args.out)
+    # n_sequences = occupied sequences only: max(end_seq_id)+1 over-counts
+    # when a zero-token doc's cum_before lands exactly on a ctx boundary,
+    # and an empty input must report 0, not null
     stats = packed.agg(
         F.count(F.lit(1)).alias("docs"),
-        F.sum("n_tokens").alias("tokens"),
-        (F.max("end_seq_id") + 1).alias("seqs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
+        F.coalesce(
+            F.max(F.when(F.col("n_tokens") > 0, F.col("end_seq_id"))) + 1,
+            F.lit(0),
+        ).alias("seqs"),
     ).collect()[0]
     print(
         json.dumps(

@@ -359,6 +359,32 @@ def minhash_lsh_pairs(
     )
 
 
+def _minhash_sig_aggs(num_hashes: int) -> list[Column]:
+    """The 16 universal-hash permutation minima as aggregate columns over
+    the ``hm`` column — THE single definition of the signature scheme,
+    shared by the in-flight LSH family and the stored signature_state so
+    catalog-persisted signatures can never drift from fresh ones."""
+    return [
+        F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(
+            f"mh_{i}"
+        )
+        for i, (a, b) in enumerate(_MINHASH_AB[:num_hashes])
+    ]
+
+
+def _band_key_cols(num_hashes: int, bands: int) -> list[Column]:
+    """Band keys (base-10 '|'-concat of each band's minima) over the mh_i
+    columns — the shared band-layout definition (see _minhash_sig_aggs)."""
+    rows_per_band = num_hashes // bands
+    return [
+        F.concat_ws(
+            "|",
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+
+
 def _banded_signatures(
     df: DataFrame,
     id_col: str,
@@ -369,7 +395,6 @@ def _banded_signatures(
 ) -> tuple[DataFrame, DataFrame]:
     """(banded(_id, band_no, band_val), sets(_id, _sh)) for one corpus —
     the shared explode→hash-agg signature path of the LSH family."""
-    rows_per_band = num_hashes // bands
     # (_id, h) hashed shingle rows — ONE md5 per shingle; the 16 signature
     # minima and the exact-verify sets are both integer aggregates over
     # these rows (the previous per-seed-md5 scheme paid 16 md5s/shingle
@@ -379,22 +404,11 @@ def _banded_signatures(
     exploded = _hashed_shingle_rows(df, id_col, text_col, n)
     hm = (F.col("h") % MINHASH_MOD).alias("hm")
     sigs = exploded.select("_id", hm).groupBy("_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(
-                f"mh_{i}"
-            )
-            for i, (a, b) in enumerate(_MINHASH_AB[:num_hashes])
-        ]
+        *_minhash_sig_aggs(num_hashes)
     )
     # band key: plain base-10 concat of the band's minima (both engines
     # render integers identically; no md5 compression needed)
-    band_cols = [
-        F.concat_ws(
-            "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select("_id", *band_cols).select(
+    banded = sigs.select("_id", *_band_key_cols(num_hashes, bands)).select(
         "_id",
         F.explode(
             F.array(
@@ -690,7 +704,13 @@ def paragraph_dedup(
         docs.select(
             F.col(id_col).alias("_id"),
             F.posexplode(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+                # re.escape: F.split takes a REGEX, but sep is a literal
+                # (reassembly uses array_join's literal semantics) — an
+                # unescaped '.' or '|' separator would explode per char
+                F.split(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    __import__("re").escape(sep),
+                )
             ).alias("_idx", "_para"),
         )
         .where(F.trim(F.col("_para")) != "")
@@ -747,6 +767,23 @@ def paragraph_dedup(
     )
 
 
+def paragraph_dedup_text(
+    docs: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """``docs`` with ``text_col`` REPLACED by its paragraph-deduped form —
+    the one canonical "rewrite text through the corpus-wide paragraph
+    dedup" step (CLI ``curate --paragraph-dedup`` and the example job both
+    use this instead of re-implementing the join/rename dance)."""
+    deduped = paragraph_dedup(docs, id_col, text_col, sep=sep).select(
+        id_col, F.col("text_dedup")
+    )
+    return (
+        docs.drop(text_col)
+        .join(deduped, id_col)
+        .withColumnRenamed("text_dedup", text_col)
+    )
+
+
 # ---------------------------------------------------- incremental dedup
 
 
@@ -763,28 +800,16 @@ def signature_state(
     compacted to ONE catalog row per doc. Store it next to the curated
     corpus (e.g. ``ParquetCatalog.merge_upsert`` keyed on the id) so later
     increments dedup against the store WITHOUT re-hashing history.
-    Identical seeds/keys to ``minhash_lsh_pairs``, so stored and fresh
-    signatures always agree."""
-    rows_per_band = num_hashes // bands
+    Identical seeds/keys to ``minhash_lsh_pairs`` BY CONSTRUCTION — the
+    signature aggregate and band layout come from the same
+    ``_minhash_sig_aggs`` / ``_band_key_cols`` helpers the in-flight path
+    uses, so stored and fresh signatures can never drift."""
     exploded = _hashed_shingle_rows(df, id_col, text_col, n)
     hm = (F.col("h") % MINHASH_MOD).alias("hm")
     sigs = exploded.select("_id", hm).groupBy("_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(
-                f"mh_{i}"
-            )
-            for i, (a, b) in enumerate(_MINHASH_AB[:num_hashes])
-        ]
+        *_minhash_sig_aggs(num_hashes)
     )
-    band_arr = F.array(
-        *[
-            F.concat_ws(
-                "|",
-                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-            for b in range(bands)
-        ]
-    )
+    band_arr = F.array(*_band_key_cols(num_hashes, bands))
     sets = exploded.groupBy("_id").agg(F.collect_list("h").alias("_sh"))
     return (
         sigs.select("_id", band_arr.alias("_bands"))

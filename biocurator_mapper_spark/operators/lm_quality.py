@@ -132,8 +132,14 @@ def lm_quality_score(
     (:func:`score_with_model`) answers directly — zero corpus shuffles (the
     model rides a pandas-UDF closure; the plan is scan → project), vs the
     explode→broadcast-join→aggregate path the self-training case needs.
-    The two paths are bit-identical (same quantized-integer arithmetic,
-    pinned in tests), so this is purely a physical-plan upgrade."""
+    The two paths are bit-identical per row (same quantized-integer
+    arithmetic, pinned in tests).
+
+    Contract note: ``id_col`` is expected unique (every caller keys docs by
+    id). If duplicates exist, the model-supplied path emits one row PER
+    INPUT ROW where the aggregate path merges duplicate ids into one row
+    with summed trigram counts — callers joining on the id downstream
+    (e.g. curate()) should dedup first either way."""
     if model is not None:
         return score_with_model(docs, text_col, model).select(
             id_col, "n_trigrams", "lm_score"

@@ -87,8 +87,14 @@ def temperature_fractions(
             f"more than {max_strata} strata — thresholds would not be "
             "dimension-sized; raise max_strata deliberately or pre-bucket"
         )
-    # deterministic iteration order (hash-agg output order is not)
-    n_by = sorted((r[strata_col], r["_n"]) for r in counts)
+    # deterministic iteration order (hash-agg output order is not); NULL
+    # strata sort first via the (is-None, value) key — a bare sorted()
+    # would TypeError comparing None with str, and silently dropping the
+    # NULL stratum would contradict _id_hash's explicit NULL handling
+    n_by = sorted(
+        ((r[strata_col], r["_n"]) for r in counts),
+        key=lambda kv: (kv[0] is not None, kv[0] if kv[0] is not None else ""),
+    )
     return thresholds_from_counts(n_by, alpha, target_rows)
 
 
@@ -100,7 +106,7 @@ def thresholds_from_counts(
     HERE, once, in one interpreter; engines only compare integers)."""
     weights = [(s, float(n) ** alpha) for s, n in n_by]
     total_w = sum(w for _, w in weights) or 1.0
-    out: dict[str, int] = {}
+    out: dict[str | None, int] = {}
     for (s, n), (_, w) in zip(n_by, weights):
         budget = target_rows * (w / total_w)
         frac = min(1.0, budget / n)
@@ -119,14 +125,55 @@ def temperature_sample(
     """Deterministic temperature-mixture sample: rows whose id hash falls
     under their stratum's :func:`temperature_fractions` threshold. A pure
     narrow filter after one dimension-sized aggregate — same resume/oracle
-    properties as :func:`stratified_sample`."""
+    properties as :func:`stratified_sample`.
+
+    Few strata inline as a CASE chain; past ``_MAX_CASE_STRATA`` the
+    thresholds become a broadcast-joined table instead — a CASE tree
+    thousands deep overflows Catalyst's analyzer stack and costs O(strata)
+    per row, while the broadcast join is depth-1 at any stratum count.
+    NULL strata get their own threshold (null-safe equality)."""
     thresholds = temperature_fractions(
         df, strata_col, alpha, target_rows, max_strata
     )
-    thresh = F.lit(0)
-    for s, t in sorted(thresholds.items()):
-        thresh = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(thresh)
-    return df.where(_id_hash(id_col) < thresh)
+    items = sorted(
+        thresholds.items(),
+        key=lambda kv: (kv[0] is not None, kv[0] if kv[0] is not None else ""),
+    )
+    if len(items) <= _MAX_CASE_STRATA:
+        thresh = F.lit(0)
+        for s, t in items:
+            cond = (
+                F.col(strata_col).isNull()
+                if s is None
+                else F.col(strata_col) == s
+            )
+            thresh = F.when(cond, F.lit(t)).otherwise(thresh)
+        return df.where(_id_hash(id_col) < thresh)
+    spark = df.sparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    tdf = spark.createDataFrame(
+        [(s, t) for s, t in items],
+        StructType(
+            [
+                StructField(strata_col, df.schema[strata_col].dataType),
+                StructField("_thresh", LongType()),
+            ]
+        ),
+    )
+    return (
+        df.join(
+            F.broadcast(tdf),
+            df[strata_col].eqNullSafe(tdf[strata_col]),
+            "inner",
+        )
+        .where(_id_hash(id_col) < F.col("_thresh"))
+        .drop(tdf[strata_col])
+        .drop("_thresh")
+    )
+
+
+_MAX_CASE_STRATA = 64
 
 
 def cap_per_stratum(

@@ -223,6 +223,26 @@ def ivf_centroids(
     return quantize(cents.astype(np.float64), CENTROID_SCALE)
 
 
+def centroid_assign_udf(bc, n_nearest: int):
+    """THE centroid-assignment kernel (one definition for the fresh path,
+    index BUILD and index SEARCH — the shared-oracle guarantee between
+    sim_ann_ivf_topk and sim_ann_ivf_indexed rests on these being the same
+    code): integer dot products of the quantized vector against the
+    broadcast quantized centroids, stable argsort so ties break toward the
+    lower centroid id (the oracle's ORDER BY dot DESC, cid ASC)."""
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        qc = bc.value  # (C, dim) int64
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).values)
+        sims = quantize(mat) @ qc.T  # int64 — exact
+        nn = min(n_nearest, sims.shape[1])
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nn]
+        return pd.Series([[int(i) for i in row] for row in top])
+
+    return _assign
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -274,28 +294,14 @@ def ivf_topk(
         )
     bc = spark.sparkContext.broadcast(qcents)
 
-    def _assign_udf(n_nearest: int):
-        @F.pandas_udf(ArrayType(IntegerType()))
-        def _assign(vecs: pd.Series) -> pd.Series:
-            qc = bc.value  # (C, dim) int64
-            mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).values)
-            sims = quantize(mat) @ qc.T  # int64 — exact
-            nn = min(n_nearest, sims.shape[1])
-            # stable sort: ties break toward the lower centroid id, same as
-            # the oracle's ORDER BY dot DESC, cid ASC
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :nn]
-            return pd.Series([[int(i) for i in row] for row in top])
-
-        return _assign
-
     # explode_outer: see lsh_topk — _assign always returns >=1 centroid,
     # and outer explode skips the inferred size-filter that would extract
     # the assignment UDF twice
     c_assigned = corpus.withColumn(
-        "_cent", F.explode_outer(_assign_udf(1)(F.col(corpus_vec)))
+        "_cent", F.explode_outer(centroid_assign_udf(bc, 1)(F.col(corpus_vec)))
     )
     q_assigned = queries.withColumn(
-        "_cent", F.explode_outer(_assign_udf(nprobe)(F.col(query_vec)))
+        "_cent", F.explode_outer(centroid_assign_udf(bc, nprobe)(F.col(query_vec)))
     )
     # No pair dedup needed (unlike LSH multi-table): every corpus row is
     # assigned to exactly ONE centroid and a query's nprobe probes are
@@ -423,23 +429,19 @@ def build_ivf_index(
     catalog.write_replace(cent_df, f"{index_name}_centroids")
     if qcents.size:
         bc = spark.sparkContext.broadcast(qcents)
-
-        @F.pandas_udf(ArrayType(IntegerType()))
-        def _assign1(vecs: pd.Series) -> pd.Series:
-            qc = bc.value
-            mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).values)
-            sims = quantize(mat) @ qc.T
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :1]
-            return pd.Series([[int(i) for i in row] for row in top])
-
         postings = corpus.withColumn(
-            "centroid_id", F.explode_outer(_assign1(F.col(corpus_vec)))
+            "centroid_id",
+            F.explode_outer(centroid_assign_udf(bc, 1)(F.col(corpus_vec))),
+        )
+        catalog.write_replace(
+            postings, f"{index_name}_postings", partition_by=["centroid_id"]
         )
     else:
+        # empty corpus: an empty PARTITIONED write emits no schema-bearing
+        # files (readers then fail to infer) — write the empty table flat
+        # so the declared corpus-id type survives for ivf_index_search
         postings = corpus.withColumn("centroid_id", F.lit(None).cast("int"))
-    catalog.write_replace(
-        postings, f"{index_name}_postings", partition_by=["centroid_id"]
-    )
+        catalog.write_replace(postings, f"{index_name}_postings")
     return len(rows)
 
 
@@ -461,15 +463,20 @@ def ivf_index_search(
     same relation as a fresh ``ivf_topk`` run with the same
     centroids/seed (pinned in tests)."""
     spark = queries.sparkSession
+    postings = catalog.read(f"{index_name}_postings")
     cent_rows = sorted(
         catalog.read(f"{index_name}_centroids").collect(),
         key=lambda r: r.centroid_id,
     )
     if not cent_rows:
+        # empty index: empty top-k preserving the POSTINGS-declared corpus
+        # id type (a hardcoded string would break unions with the fresh
+        # path and the driver's arrow-type-sensitive compare)
+        cid_type = postings.schema[corpus_id_col].dataType
         return (
             queries.select(
                 F.col(query_id_col),
-                F.lit(None).cast("string").alias(corpus_id_col),
+                F.lit(None).cast(cid_type).alias(corpus_id_col),
                 F.lit(0).alias("rank"),
                 F.lit(0.0).alias("cosine"),
                 F.lit(0.0).alias("certainty"),
@@ -479,18 +486,9 @@ def ivf_index_search(
     bc = spark.sparkContext.broadcast(qcents)
     npb = min(nprobe, len(cent_rows))
 
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def _probe(vecs: pd.Series) -> pd.Series:
-        qc = bc.value
-        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).values)
-        sims = quantize(mat) @ qc.T
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
-        return pd.Series([[int(i) for i in row] for row in top])
-
     q_assigned = queries.withColumn(
-        "centroid_id", F.explode_outer(_probe(F.col(query_vec)))
+        "centroid_id", F.explode_outer(centroid_assign_udf(bc, npb)(F.col(query_vec)))
     )
-    postings = catalog.read(f"{index_name}_postings")
     cands = (
         q_assigned.join(postings, "centroid_id")
         .drop("centroid_id")

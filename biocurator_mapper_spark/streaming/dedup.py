@@ -102,6 +102,25 @@ def streaming_neardup_sink(
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        # ONE row per id within the batch (crawler revisits / two part
+        # files in a trigger can repeat an id): incremental_dedup's strict
+        # id_a < id_b rule never pairs equal ids, and merge_upsert rejects
+        # duplicate-key sources — without this the stream would die on the
+        # first exact re-fetch. Winner = content-hash order (deterministic
+        # under replay, same rule as merge_upsert_stream's tiebreak).
+        from pyspark.sql import Window
+
+        non_key = [c for c in batch_df.columns if c != id_col]
+        w = Window.partitionBy(id_col).orderBy(
+            F.asc(F.xxhash64(F.to_json(F.struct(*non_key))))
+            if non_key
+            else F.asc(id_col)
+        )
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         if catalog.exists(state_table):
             state = catalog.read(state_table)
         else:

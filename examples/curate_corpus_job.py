@@ -78,16 +78,9 @@ def main() -> int:
 
     # 0. optional paragraph dedup (CCNet ordering: boilerplate out first)
     if args.paragraph_dedup:
-        from biocurator_mapper_spark.operators.dedup import paragraph_dedup
+        from biocurator_mapper_spark.operators.dedup import paragraph_dedup_text
 
-        deduped = paragraph_dedup(docs, id_col, text_col).select(
-            id_col, F.col("text_dedup")
-        )
-        docs = (
-            docs.drop(text_col)
-            .join(deduped, id_col)
-            .withColumnRenamed("text_dedup", text_col)
-        )
+        docs = paragraph_dedup_text(docs, id_col, text_col)
 
     # 1. gates + exact dedup (one stage label per doc)
     staged = curate(

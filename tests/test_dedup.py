@@ -304,6 +304,19 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert got[5] == ("", 0, 0)
     assert len(got) == 5
 
+    # regex-metachar separators are treated as LITERALS (split escapes,
+    # matching array_join's literal reassembly)
+    dot = spark.createDataFrame(
+        [(1, "alpha beta.shared line.gamma"), (2, "shared line.delta")],
+        "doc_id long, text string",
+    )
+    got_dot = {
+        r.doc_id: (r.text_dedup, r.n_paragraphs, r.n_kept)
+        for r in paragraph_dedup(dot, "doc_id", "text", sep=".").collect()
+    }
+    assert got_dot[1] == ("alpha beta.shared line.gamma", 3, 3)
+    assert got_dot[2] == ("delta", 2, 1)
+
 
 def test_minhash_lsh_finds_planted_dups(spark, docs):
     got = {

@@ -382,6 +382,39 @@ def test_temperature_sample_mixing_semantics(spark):
     with pytest.raises(ValueError):
         temperature_fractions(df, "source", 0.5, 100, max_strata=2)
 
+    # NULL strata neither crash nor silently vanish: they form their own
+    # stratum with its own threshold
+    dfn = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, "known").otherwise(F.lit(None)).alias("source"),
+    )
+    thn = temperature_fractions(dfn, "source", 0.5, 100)
+    assert set(thn) == {"known", None}
+    outn = temperature_sample(dfn, "source", "doc_id", 0.5, 100)
+    assert outn.where(F.col("source").isNull()).count() > 0
+
+    # many-strata path (broadcast threshold join, no deep CASE chain):
+    # same semantics as the CASE path on a >64-strata corpus
+    import biocurator_mapper_spark.operators.sampling as _s
+
+    big = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), (F.col("id") % 100)).alias("source"),
+    )
+    got_join = {
+        r.doc_id for r in temperature_sample(big, "source", "doc_id", 0.5, 400).collect()
+    }
+    orig = _s._MAX_CASE_STRATA
+    _s._MAX_CASE_STRATA = 10_000  # force the CASE path for the differential
+    try:
+        got_case = {
+            r.doc_id
+            for r in temperature_sample(big, "source", "doc_id", 0.5, 400).collect()
+        }
+    finally:
+        _s._MAX_CASE_STRATA = orig
+    assert got_join == got_case and got_join
+
 
 def test_profile_table_one_pass(spark):
     import pytest

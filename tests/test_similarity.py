@@ -131,6 +131,14 @@ def test_ivf_index_build_search_matches_fresh_ivf_topk(spark, tmp_path):
     parts = [d for d in os.listdir(table_dir) if d.startswith("centroid_id=")]
     assert len(parts) >= 2
 
+    # empty-corpus index: search returns an EMPTY frame that still carries
+    # the postings-declared corpus-id type (was hardcoded string)
+    cat2 = ParquetCatalog(spark, str(tmp_path / "wh_ivf_empty"))
+    build_ivf_index(cat2, "e0", corpus.where(F.lit(False)), n_centroids=4)
+    empty = ivf_index_search(cat2, "e0", queries, k=3)
+    assert empty.count() == 0
+    assert empty.schema["corpus_id"].dataType == corpus.schema["corpus_id"].dataType
+
 
 def test_embedding_cosine_pairs_planted_dup(spark):
     rng = np.random.default_rng(3)

@@ -173,3 +173,42 @@ def test_streaming_neardup_sink_cross_batch_and_replay(spark, tmp_path):
     cat2 = run("two")
     assert {r.url for r in cat2.read("docs_nd").select("url").collect()} == urls
     assert {r.url for r in cat2.read("state_nd").select("url").collect()} == urls
+
+
+def test_streaming_neardup_sink_survives_duplicate_ids_in_batch(
+    spark, tmp_path
+):
+    """An id repeated WITHIN one micro-batch (crawler revisit, two part
+    files in a trigger) must not kill the stream: the batch pre-dedups per
+    key before the keyed MERGEs (previously merge_upsert raised on the
+    duplicate-key source and the query died)."""
+    import datetime as dt
+
+    from biocurator_mapper_spark.sources.catalog import ParquetCatalog
+    from biocurator_mapper_spark.streaming.dedup import streaming_neardup_sink
+
+    ts = dt.datetime(2025, 3, 2, 9, 0, 0)
+    rows = [
+        ("u://same", ts, None, "completely different content about spark shuffles at scale", "en"),
+        ("u://same", ts, None, "completely different content about spark shuffles at scale", "en"),
+        ("u://other", ts, None, "ontology terms map surface mentions to canonical curies via synonyms", "en"),
+    ]
+    landing = tmp_path / "in_dupid"
+    landing.mkdir()
+    spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.parquet(
+        str(landing / "b0")
+    )
+    cat = ParquetCatalog(spark, str(tmp_path / "wh_dupid"))
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing) + "/*")
+    )
+    q = streaming_neardup_sink(
+        stream, cat, "docs_di", "state_di", str(tmp_path / "ckpt_dupid"),
+        n_buckets=4,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {r.url for r in cat.read("docs_di").select("url").collect()}
+    assert got == {"u://same", "u://other"}
