@@ -1150,3 +1150,84 @@ def substring_dup_spans(
         F.col("_r.span").alias("span"),
     )
     return out.where(F.col("span_len") >= min_len)
+
+
+def cut_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, text_cut, n_cut_chars) — the CUT step closing the
+    exact-substring tier (Lee et al.'s ExactSubstr dedup removes the
+    repeated span, not the whole document): every verified span from
+    :func:`substring_dup_spans` is removed from the LATER document
+    (``id_b``) at its first occurrence, the earlier document keeps its
+    copy — the same corpus-wide first-wins rule the other tiers use.
+    Documents appearing in no pair pass through untouched.
+
+    Cuts apply to the NORMALIZED text (what the spans were found in), in
+    deterministic order (longest span first, then id_a) so overlapping
+    spans resolve identically on every run; removed spans are replaced by
+    a single space and whitespace re-collapsed. Plan: spans aggregate to
+    one array per id_b (they are pair-bounded), broadcast-joined onto the
+    docs, one Arrow stage applies the cuts."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    per_doc = spans.groupBy(F.col("id_b").alias("_cid")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("span_len")).alias("_neg"),
+                        F.col("id_a").alias("_a"),
+                        F.col("span").alias("_sp"),
+                    )
+                )
+            ),
+            lambda x: x["_sp"],
+        ).alias("_cuts")
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+", " "
+        )
+    )
+
+    def _cut_fn(texts, cuts_s):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        out_t, out_n = [], []
+        for t, cuts in zip(texts, cuts_s):
+            s = t or ""
+            before = len(s)
+            for sp in cuts or []:
+                if sp:
+                    s = s.replace(sp, " ", 1)
+            s = ws.sub(" ", s).strip()
+            out_t.append(s)
+            out_n.append(before - len(s))
+        return pd.DataFrame({"text_cut": out_t, "n_cut_chars": out_n})
+
+    _cut = pandas_udf(
+        _cut_fn,
+        StructType(
+            [
+                StructField("text_cut", StringType()),
+                StructField("n_cut_chars", LongType()),
+            ]
+        ),
+    )
+    base = docs.select(F.col(id_col), norm.alias("_s"))
+    joined = base.join(
+        F.broadcast(per_doc), base[id_col] == per_doc["_cid"], "left"
+    )
+    return joined.withColumn("_r", _cut(F.col("_s"), F.col("_cuts"))).select(
+        F.col(id_col),
+        F.col("_r.text_cut").alias("text_cut"),
+        F.col("_r.n_cut_chars").alias("n_cut_chars"),
+    )

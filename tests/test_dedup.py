@@ -243,6 +243,42 @@ def test_substring_span_verify_recovers_planted_runs(spark):
     assert high.count() == 0
 
 
+def test_cut_duplicate_spans_removes_later_copy_only(spark):
+    """The cut step: verified spans vanish from the LATER doc (first
+    occurrence, normalized text), the earlier doc keeps its copy, untouched
+    docs pass through; n_cut_chars accounts for the removal."""
+    import random
+
+    from biocurator_mapper_spark.operators.dedup import (
+        cut_duplicate_spans,
+        substring_dup_candidates,
+        substring_dup_spans,
+    )
+
+    rng = random.Random(23)
+    alpha = "abcdefghij "
+    rand = lambda n: "".join(rng.choice(alpha) for _ in range(n))  # noqa: E731
+    boiler = "all rights reserved please contact the site operator for details"
+    rows = [
+        (1, rand(150) + " " + boiler + " " + rand(150)),
+        (2, rand(200) + " " + boiler),
+        (3, rand(300)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = substring_dup_candidates(df, "doc_id", "text", k=20, w=30)
+    spans = substring_dup_spans(df, pairs, "doc_id", "text")
+    got = {
+        r.doc_id: (r.text_cut, r.n_cut_chars)
+        for r in cut_duplicate_spans(df, spans, "doc_id", "text").collect()
+    }
+    assert len(got) == 3
+    assert boiler in got[1][0] and got[1][1] == 0      # earlier copy kept
+    # cut: span removed (net chars ≈ span length minus the one joining
+    # space the replacement leaves behind)
+    assert boiler not in got[2][0] and got[2][1] >= len(boiler) - 2
+    assert got[3][1] == 0                               # untouched
+
+
 def test_incremental_dedup_matches_batch_rule(spark, docs):
     """Dedup of an increment against stored signatures must reproduce the
     batch LSH-pair rule exactly: a new doc is dropped iff some smaller-id
