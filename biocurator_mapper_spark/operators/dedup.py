@@ -833,15 +833,20 @@ def incremental_dedup(
     batch, only the batch is shingled/hashed; the store contributes its
     saved band keys and hash sets).
 
-    Greedy first-wins rule, matching the batch formulation exactly: a new
-    doc is dropped iff it is a verified near-duplicate (Jaccard ≥
-    threshold over the exact hash sets) of ANY stored doc or of an
-    EARLIER-id doc within the same increment — i.e. precisely the batch
-    LSH pairs (a, b) with a < b restricted to b ∈ increment, which is what
-    the DuckDB oracle replays over the full corpus. Candidates come only
-    from band collisions (new×stored and new×new); nothing is all-pairs.
-    Merge ``kept_new_state`` into the store (e.g. catalog MERGE keyed on
-    the id) to complete the increment."""
+    Greedy first-wins rule: a new doc is dropped iff it is a verified
+    near-duplicate (Jaccard ≥ threshold over the exact hash sets) of an
+    EARLIER-id doc — stored or within the same increment — i.e. precisely
+    the batch LSH pairs (a, b) with a < b restricted to drops that are
+    executable (b ∈ increment). EQUIVALENCE CONTRACT: the result equals
+    the batch formulation over the full corpus iff every increment's ids
+    sort after all stored ids (monotone ingestion — the natural shape for
+    url/timestamp/sequence ids, and what the contract query's oracle
+    replays). With non-monotone ids the batch rule would drop a STORED
+    doc, which an increment cannot do; this function then keeps the new
+    doc too (per-pair a<b first-wins, never a silent wrong drop).
+    Candidates come only from band collisions (new×stored and new×new);
+    nothing is all-pairs. Merge ``kept_new_state`` into the store (e.g.
+    catalog MERGE keyed on the id) to complete the increment."""
     new_state = signature_state(
         new_docs, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
     )
@@ -875,7 +880,12 @@ def incremental_dedup(
         )
 
     cross = (
-        nb.join(ob, ["band_no", "band_val"]).select("_nid", "_oid").distinct()
+        nb.join(ob, ["band_no", "band_val"])
+        # batch a<b rule: only an EARLIER-id stored doc can drop a new
+        # one (under monotone ingestion this keeps every cross pair)
+        .where(F.col("_oid") < F.col("_nid"))
+        .select("_nid", "_oid")
+        .distinct()
     )
     nb2 = nb.select(
         F.col("_nid").alias("_nid2"), "band_no", "band_val"
@@ -1157,6 +1167,7 @@ def cut_duplicate_spans(
     spans: DataFrame,
     id_col: str,
     text_col: str,
+    broadcast_spans: bool = True,
 ) -> DataFrame:
     """(id, text_cut, n_cut_chars) — the CUT step closing the
     exact-substring tier (Lee et al.'s ExactSubstr dedup removes the
@@ -1171,7 +1182,11 @@ def cut_duplicate_spans(
     spans resolve identically on every run; removed spans are replaced by
     a single space and whitespace re-collapsed. Plan: spans aggregate to
     one array per id_b (they are pair-bounded), broadcast-joined onto the
-    docs, one Arrow stage applies the cuts."""
+    docs, one Arrow stage applies the cuts. If a corpus ever produced a
+    GB-scale span relation, pass ``broadcast_spans=False``: the join
+    becomes an ordinary shuffle hash join on the doc id (same valve
+    pattern as ``decontaminate_exact``'s oversized-benchmark path) with
+    identical output."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -1205,7 +1220,9 @@ def cut_duplicate_spans(
         for t, cuts in zip(texts, cuts_s):
             s = t or ""
             before = len(s)
-            for sp in cuts or []:
+            # cuts arrives as a numpy array (Arrow list column) — `cuts
+            # or []` truth-tests the array and raises for len >= 2
+            for sp in [] if cuts is None else list(cuts):
                 if sp:
                     s = s.replace(sp, " ", 1)
             s = ws.sub(" ", s).strip()
@@ -1223,9 +1240,9 @@ def cut_duplicate_spans(
         ),
     )
     base = docs.select(F.col(id_col), norm.alias("_s"))
-    joined = base.join(
-        F.broadcast(per_doc), base[id_col] == per_doc["_cid"], "left"
-    )
+    if broadcast_spans:
+        per_doc = F.broadcast(per_doc)
+    joined = base.join(per_doc, base[id_col] == per_doc["_cid"], "left")
     return joined.withColumn("_r", _cut(F.col("_s"), F.col("_cuts"))).select(
         F.col(id_col),
         F.col("_r.text_cut").alias("text_cut"),

@@ -279,6 +279,52 @@ def test_cut_duplicate_spans_removes_later_copy_only(spark):
     assert got[3][1] == 0                               # untouched
 
 
+def test_cut_duplicate_spans_multiple_spans_per_doc(spark):
+    """A doc carrying TWO verified spans (from different earlier docs) has
+    BOTH removed — regression for the Arrow array truthiness crash on the
+    multi-span path ('truth value of an array … is ambiguous'), which only
+    a >=2-span doc exercises — and the non-broadcast fallback join returns
+    the identical result."""
+    import random
+
+    from biocurator_mapper_spark.operators.dedup import (
+        cut_duplicate_spans,
+        substring_dup_candidates,
+        substring_dup_spans,
+    )
+
+    rng = random.Random(41)
+    alpha = "abcdefghij "
+    rand = lambda n: "".join(rng.choice(alpha) for _ in range(n))  # noqa: E731
+    b1 = "all rights reserved please contact the site operator for details"
+    b2 = "subscribe to our newsletter for weekly updates and special offers"
+    rows = [
+        (1, rand(150) + " " + b1 + " " + rand(150)),
+        (2, rand(150) + " " + b2 + " " + rand(150)),
+        (3, rand(100) + " " + b1 + " " + rand(100) + " " + b2 + " " + rand(100)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = substring_dup_candidates(df, "doc_id", "text", k=20, w=30)
+    spans = substring_dup_spans(df, pairs, "doc_id", "text")
+    by_b = {r.id_b for r in spans.collect()}
+    assert by_b == {3}  # doc 3 is the later doc in both pairs
+    got = {
+        r.doc_id: (r.text_cut, r.n_cut_chars)
+        for r in cut_duplicate_spans(df, spans, "doc_id", "text").collect()
+    }
+    assert b1 in got[1][0] and b2 in got[2][0]          # earlier copies kept
+    assert b1 not in got[3][0] and b2 not in got[3][0]  # BOTH spans cut
+    assert got[3][1] >= len(b1) + len(b2) - 4
+    # shuffle-join valve: identical output without the broadcast hint
+    fb = {
+        r.doc_id: (r.text_cut, r.n_cut_chars)
+        for r in cut_duplicate_spans(
+            df, spans, "doc_id", "text", broadcast_spans=False
+        ).collect()
+    }
+    assert fb == got
+
+
 def test_incremental_dedup_matches_batch_rule(spark, docs):
     """Dedup of an increment against stored signatures must reproduce the
     batch LSH-pair rule exactly: a new doc is dropped iff some smaller-id
