@@ -2472,10 +2472,17 @@ def oracle_sql() -> dict[str, str]:
                               trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')) AS s
                        FROM documents),
             h AS (
+              -- the shared winnow hash: double 31-bit polynomial fold per
+              -- k-gram, combined h1*2^31 + h2 (< 2^62, exact in BIGINT)
               SELECT doc_id,
                 CASE WHEN length(s) - 19 >= 1 THEN
                   list_transform(range(1, length(s) - 19 + 1),
-                                 i -> ('0x' || substring(md5(substring(s, i, 20)), 1, 15))::BIGINT)
+                    i -> list_reduce(list_prepend(0::BIGINT,
+                           list_transform(range(i, i + 20), j -> ascii(substring(s, j, 1))::BIGINT)),
+                           (acc, c) -> (acc * 131 + c) % 2147483647) * 2147483648
+                       + list_reduce(list_prepend(0::BIGINT,
+                           list_transform(range(i, i + 20), j -> ascii(substring(s, j, 1))::BIGINT)),
+                           (acc, c) -> (acc * 137 + c) % 2147483629))
                 ELSE [] END AS hs
               FROM s
             ),

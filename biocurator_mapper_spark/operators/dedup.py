@@ -910,6 +910,21 @@ def incremental_dedup(
 
 # --------------------------------------------------- winnowing / substring
 
+# The winnowing tier's k-gram hash: a DOUBLE 31-bit polynomial hash
+# combined into one < 2⁶² long (h₁·2³¹ + h₂, each hᵢ = foldₗ₍ᵣ
+# (acc·Bᵢ + codepoint) mod Mᵢ starting from 0). Every fold step keeps
+# acc·B + c < 2³⁹, so signed 64-bit arithmetic is exact in Spark
+# expressions, DuckDB SQL, and numpy alike — and unlike the md5-per-
+# position scheme it vectorizes: the Arrow kernel computes all positions
+# with k shifted multiply-adds over the codepoint array instead of one
+# Python-level hashlib call per character (the suite's former cost
+# leader). Collisions only ever ADD candidate pairs (verified exactly
+# downstream); equal substrings always hash equal, so the completeness
+# guarantee is untouched.
+WINNOW_B1, WINNOW_M1 = 131, 2_147_483_647
+WINNOW_B2, WINNOW_M2 = 137, 2_147_483_629
+_WINNOW_COMBINE = 2_147_483_648  # 2³¹
+
 
 def winnow_anchors_expr(text: Column, k: int = 20, w: int = 30) -> Column:
     """Winnowed fingerprint anchors of the normalized text — the MOSS /
@@ -924,14 +939,27 @@ def winnow_anchors_expr(text: Column, k: int = 20, w: int = 30) -> Column:
     cannot see (it detects whole-document similarity, not a long common
     run inside otherwise-different docs).
 
-    Expression shape: one normalize, one k-gram hash array (md5→60-bit
-    long per position, bound once via let_expr), one windowed-min pass
-    (slice+array_min per window — O(n·w) expression work, fine at contract
-    scale and ORACLE-REPLICABLE in SQL; a production 100 TB pass would do
-    the same two arrays in one Arrow stage with a monotonic-deque rolling
-    minimum, same output). Docs shorter than k chars yield no anchors;
+    Expression shape: one normalize, one k-gram polynomial-hash array
+    (O(k) fold per position, bound once via let_expr), one windowed-min
+    pass (slice+array_min per window — O(n·w) expression work, fine at
+    contract scale and ORACLE-REPLICABLE in SQL; the production path is
+    :func:`winnow_anchor_rows_arrow`'s vectorized numpy kernel, pinned
+    value-identical in tests). Docs shorter than k chars yield no anchors;
     docs with < w k-grams yield one anchor (min of all their hashes)."""
     from ..functions.exprs import let_expr
+
+    def _poly_hash(s: Column, i: Column) -> Column:
+        def fold(b: int, mod: int) -> Column:
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: (acc * F.lit(b) + F.ascii(s.substr(i + j, F.lit(1))))
+                % F.lit(mod),
+            )
+
+        return fold(WINNOW_B1, WINNOW_M1) * F.lit(_WINNOW_COMBINE) + fold(
+            WINNOW_B2, WINNOW_M2
+        )
 
     def _with_s(s: Column) -> Column:
         n = F.length(s)
@@ -951,7 +979,7 @@ def winnow_anchors_expr(text: Column, k: int = 20, w: int = 30) -> Column:
 
         hashes = F.transform(
             F.sequence(F.lit(1), F.greatest(m, F.lit(0))),
-            lambda i: shingle_hash_expr(s.substr(i, F.lit(k))),
+            lambda i: _poly_hash(s, i),
         )
         return F.when(m >= 1, let_expr(hashes, _with_hashes)).otherwise(
             F.array().cast("array<long>")
@@ -1014,36 +1042,69 @@ def substring_dup_candidates(
     )
 
 
+def _winnow_kgram_hashes_np(codes, k: int):
+    """Vectorized k-gram hash array: for each position i, the combined
+    double polynomial hash of codes[i : i+k]. k shifted multiply-adds over
+    the whole codepoint array replace a per-position Python hash call —
+    the fold (acc·B + c) mod M equals the shifted sum Σ c_j · B^(k−1−j)
+    mod M, computed here with a mod per step so every intermediate stays
+    < 2⁵³ regardless of k."""
+    import numpy as np
+
+    m = codes.shape[0] - k + 1
+    h1 = np.zeros(m, dtype=np.int64)
+    h2 = np.zeros(m, dtype=np.int64)
+    for j in range(k):
+        pw1 = pow(WINNOW_B1, k - 1 - j, WINNOW_M1)
+        pw2 = pow(WINNOW_B2, k - 1 - j, WINNOW_M2)
+        win = codes[j : j + m]
+        h1 = (h1 + pw1 * win) % WINNOW_M1
+        h2 = (h2 + pw2 * win) % WINNOW_M2
+    return h1 * _WINNOW_COMBINE + h2
+
+
+def _sliding_min_np(a, w: int):
+    """Length n−w+1 rolling minimum over windows of ``w`` — the O(n)
+    block prefix/suffix-min formulation (two ``minimum.accumulate``
+    passes), no Python-level loop."""
+    import numpy as np
+
+    n = a.shape[0]
+    nb = -(-n // w)
+    pad = nb * w - n
+    big = np.iinfo(np.int64).max
+    ap = np.concatenate([a, np.full(pad, big, dtype=np.int64)]) if pad else a
+    blocks = ap.reshape(nb, w)
+    pref = np.minimum.accumulate(blocks, axis=1).ravel()
+    suff = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suff[: n - w + 1], pref[w - 1 : n])
+
+
 def winnow_anchors_py(s: str, k: int = 20, w: int = 30) -> list[int]:
-    """Pure-Python twin of :func:`winnow_anchors_expr` over an ALREADY
-    normalized string: same md5-derived 60-bit k-gram hashes, same windowed
-    minima, O(n) via a monotonic deque instead of the expression's O(n·w)
-    slice-mins. Returns the distinct anchor SET (sorted); the two
-    implementations are pinned value-equal in tests."""
-    import hashlib
-    from collections import deque
+    """Vectorized twin of :func:`winnow_anchors_expr` over an ALREADY
+    normalized string: same double-polynomial k-gram hashes, same windowed
+    minima — all in numpy (hash array via k shifted multiply-adds, rolling
+    min via the block accumulate trick), no per-character Python work.
+    Returns the distinct anchor SET (sorted); the implementations are
+    pinned value-equal in tests."""
+    import numpy as np
 
     n = len(s)
     m = n - (k - 1)
     if m < 1:
         return []
-    hashes = [
-        int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:15], 16)
-        for i in range(m)
-    ]
+    raw = s.encode()
+    if len(raw) == n:  # pure-ASCII fast path (normalized text always is)
+        codes = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    else:  # arbitrary codepoints, matching Spark/DuckDB ascii()
+        codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+    hashes = _winnow_kgram_hashes_np(codes, k)
     if m < w:
-        return [min(hashes)]
-    out: set[int] = set()
-    dq: deque[int] = deque()  # indices, hash values increasing
-    for i, h in enumerate(hashes):
-        while dq and hashes[dq[-1]] >= h:
-            dq.pop()
-        dq.append(i)
-        if dq[0] <= i - w:
-            dq.popleft()
-        if i >= w - 1:
-            out.add(hashes[dq[0]])
-    return sorted(out)
+        return [int(hashes.min())]
+    mins = np.unique(_sliding_min_np(hashes, w))
+    return [int(x) for x in mins]
 
 
 def winnow_anchor_rows_arrow(
@@ -1077,6 +1138,145 @@ def winnow_anchor_rows_arrow(
     ).where(F.col("a").isNotNull())
 
 
+def _norm_codes_np(s: str):
+    """Codepoint array of an already-normalized string (ASCII fast path,
+    exact codepoints otherwise — matching Spark/DuckDB ``ascii()``)."""
+    import numpy as np
+
+    raw = s.encode()
+    if len(raw) == len(s):
+        return np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+
+
+def anchor_occurrences_py(s: str, k: int = 20, w: int = 30):
+    """(values, positions) of EVERY occurrence of every winnow-anchor value
+    in the normalized string ``s`` — the seed table for anchor-seeded span
+    extension. All-occurrence (not just window-selected) positions matter:
+    the two copies of a shared run may window-select DIFFERENT occurrences
+    of the same k-gram, and only the full occurrence lists are guaranteed
+    to contain an ALIGNED (same content offset) seed pair. Sparse: ~2n/w
+    entries per doc plus repeats, vs the n-long hash array."""
+    import numpy as np
+
+    n = len(s)
+    m = n - (k - 1)
+    if m < 1:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.astype(np.int32)
+    codes = _norm_codes_np(s)
+    hashes = _winnow_kgram_hashes_np(codes, k)
+    if m < w:
+        anchors = hashes.min(keepdims=True)
+    else:
+        anchors = np.unique(_sliding_min_np(hashes, w))
+    mask = np.isin(hashes, anchors)
+    poss = np.nonzero(mask)[0].astype(np.int32)
+    return hashes[poss], poss
+
+
+# per-(value, doc) occurrence cap and per-pair seed budget for the
+# anchor-seeded extension: only wildly repetitive text (one k-gram
+# repeating > _SEED_CAP times per doc) can exceed them, at the cost of
+# possibly seeding a shorter-than-maximal span there — the exact-DP
+# fallback stays available via use_anchors=False / small pairs.
+_SEED_CAP = 64
+_SEED_BUDGET = 100_000
+
+
+def match_span_anchor_seeded_py(
+    sa: str,
+    sb: str,
+    occ_a,
+    occ_b,
+    k: int = 20,
+) -> tuple[int, int, int]:
+    """(start_a, start_b, length) of the longest shared substring found by
+    extending aligned shared-anchor seeds — O(shared anchors + span chars)
+    instead of the O(n·m) DP. EXACT for any shared run ≥ w + k − 1 chars
+    (the winnowing guarantee puts an aligned seed pair inside every such
+    run); ties break to the smallest start_a, then start_b. Seeds sharing
+    a diagonal are extended once (later seeds inside an already-extended
+    run are skipped), and extension compares chunked numpy slices, not
+    per-char Python."""
+    import numpy as np
+
+    ca = _norm_codes_np(sa)
+    cb = _norm_codes_np(sb)
+    va, pa = occ_a
+    vb, pb = occ_b
+    da: dict = {}
+    for v, p in zip(va.tolist(), pa.tolist()):
+        l = da.get(v)
+        if l is None:
+            da[v] = l = []
+        if len(l) < _SEED_CAP:
+            l.append(p)
+    db: dict = {}
+    for v, p in zip(vb.tolist(), pb.tolist()):
+        l = db.get(v)
+        if l is None:
+            db[v] = l = []
+        if len(l) < _SEED_CAP:
+            l.append(p)
+
+    seeds: dict = {}  # diagonal -> [start_a, ...]
+    n_seeds = 0
+    for v, xs in da.items():
+        ys = db.get(v)
+        if ys is None:
+            continue
+        for x in xs:
+            for y in ys:
+                seeds.setdefault(x - y, []).append(x)
+                n_seeds += 1
+            if n_seeds > _SEED_BUDGET:
+                break
+        if n_seeds > _SEED_BUDGET:
+            break
+
+    CH = 4096
+    best_len, best_a, best_b = 0, -1, -1
+    for d in sorted(seeds):
+        xs = sorted(set(seeds[d]))
+        covered = -1
+        for x in xs:
+            y = x - d
+            if x + k - 1 <= covered:
+                continue  # inside the run already extended on this diagonal
+            if not np.array_equal(ca[x : x + k], cb[y : y + k]):
+                continue  # 62-bit hash collision — not a real match
+            i, j = x + k, y + k
+            while True:  # chunked right extension
+                L = min(ca.shape[0] - i, cb.shape[0] - j, CH)
+                if L <= 0:
+                    break
+                neq = ca[i : i + L] != cb[j : j + L]
+                t = int(neq.argmax()) if neq.any() else L
+                i += t
+                j += t
+                if t < L:
+                    break
+            i2, j2 = x, y
+            while True:  # chunked left extension
+                L = min(i2, j2, CH)
+                if L <= 0:
+                    break
+                neq = ca[i2 - L : i2][::-1] != cb[j2 - L : j2][::-1]
+                t = int(neq.argmax()) if neq.any() else L
+                i2 -= t
+                j2 -= t
+                if t < L:
+                    break
+            covered = i - 1
+            ln = i - i2
+            if ln > best_len or (
+                ln == best_len and (i2, j2) < (best_a, best_b)
+            ):
+                best_len, best_a, best_b = ln, i2, j2
+    return best_a, best_b, best_len
+
+
 def longest_common_substring_py(a: str, b: str) -> str:
     """Longest common substring via the classic rolling-row DP (O(len(a)·
     len(b)) time, O(min) memory). Ties break to the earliest start in
@@ -1108,52 +1308,173 @@ def substring_dup_spans(
     id_col: str,
     text_col: str,
     min_len: int = 49,
+    k: int = 20,
+    w: int = 30,
+    use_anchors: bool | None = None,
+    dp_small: int = 0,
 ) -> DataFrame:
     """(id_a, id_b, span_len, span) — the VERIFY step of the exact-substring
     tier: for each candidate pair (from :func:`substring_dup_candidates`),
     the longest shared NORMALIZED substring, kept when ≥ ``min_len``.
 
-    Scale shape: texts join onto the (already small) candidate pair
-    relation — two broadcast-or-shuffle hash joins keyed on bare ids — and
-    the O(n·m)-per-pair DP runs in one Arrow-batched stage. Pair count is
-    the winnowing tier's output (bounded by the anchor-DF cap), never
-    corpus², so quadratic-per-pair is fine exactly like the n-gram tier's
-    array_intersect verify."""
+    Two kernels. The default (``use_anchors=None`` → auto) is
+    ANCHOR-SEEDED extension when ``min_len ≥ w + k − 1``: each doc's
+    winnow-anchor occurrence table (sparse, ~2n/w entries) is computed
+    once per doc in one Arrow stage, pairs join those tables, and shared
+    anchors seed aligned matches extended with chunked numpy compares —
+    O(span chars) per pair, exact for every span the filter can keep
+    (the winnowing guarantee puts an aligned seed in every shared run
+    ≥ w+k−1; a 200 KB book-length dup pair costs ~the span length, not
+    the 10¹⁰-char DP — and a doc shorter than w+k−1 chars cannot contain
+    a keepable span, so NO pair needs the DP in the guarantee regime).
+    ``min_len`` below the guarantee threshold takes the exact O(n·m) DP,
+    as does ``use_anchors=False`` everywhere (the oracle-shaped twin) and
+    pairs of combined length < ``dp_small`` (opt-in belt-and-braces;
+    default 0 — at ~5 ms per 300-char pair the DP costs ~70× the seeded
+    kernel, and a web corpus is DOMINATED by such pairs).
+
+    Scale shape: texts/occurrence tables join onto the (already small)
+    candidate pair relation — broadcast-or-shuffle hash joins keyed on
+    bare ids; pair count is the winnowing tier's output (bounded by the
+    anchor-DF cap), never corpus²."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
         LongType,
         StringType,
         StructField,
         StructType,
     )
 
+    if use_anchors is None:
+        use_anchors = min_len >= w + k - 1
+
     norm = F.trim(
         F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+", " ")
     )
-    texts = docs.select(F.col(id_col).alias("_tid"), norm.alias("_s"))
+    span_schema = StructType(
+        [
+            StructField("span_len", LongType()),
+            StructField("span", StringType()),
+        ]
+    )
 
-    def _lcs_fn(a_s, b_s):
+    if not use_anchors:
+        texts = docs.select(F.col(id_col).alias("_tid"), norm.alias("_s"))
+
+        def _lcs_fn(a_s, b_s):
+            import pandas as pd
+
+            spans = [
+                longest_common_substring_py(x or "", y or "")
+                for x, y in zip(a_s, b_s)
+            ]
+            return pd.DataFrame(
+                {"span_len": [len(s) for s in spans], "span": spans}
+            )
+
+        _lcs = pandas_udf(_lcs_fn, span_schema)
+        joined = (
+            pairs.select("id_a", "id_b")
+            .join(texts.select(F.col("_tid").alias("id_a"), F.col("_s").alias("_sa")), "id_a")
+            .join(texts.select(F.col("_tid").alias("id_b"), F.col("_s").alias("_sb")), "id_b")
+        )
+        out = joined.withColumn("_r", _lcs(F.col("_sa"), F.col("_sb"))).select(
+            "id_a",
+            "id_b",
+            F.col("_r.span_len").alias("span_len"),
+            F.col("_r.span").alias("span"),
+        )
+        return out.where(F.col("span_len") >= min_len)
+
+    # ---- anchor-seeded path: one occurrence-table stage per doc ----
+    ids = (
+        pairs.select(F.col("id_a").alias("_tid"))
+        .union(pairs.select(F.col("id_b").alias("_tid")))
+        .distinct()
+    )
+    texts = docs.select(F.col(id_col).alias("_tid"), norm.alias("_s")).join(
+        ids, "_tid", "left_semi"
+    )
+
+    occ_schema = StructType(
+        [
+            StructField("vals", ArrayType(LongType())),
+            StructField("poss", ArrayType(IntegerType())),
+        ]
+    )
+
+    def _occ_fn(texts_s):
         import pandas as pd
 
-        spans = [longest_common_substring_py(x or "", y or "") for x, y in zip(a_s, b_s)]
-        return pd.DataFrame({"span_len": [len(s) for s in spans], "span": spans})
+        vs, ps = [], []
+        for t in texts_s:
+            v, p = anchor_occurrences_py(t or "", k, w)
+            vs.append(v)
+            ps.append(p)
+        return pd.DataFrame({"vals": vs, "poss": ps})
 
-    _lcs = pandas_udf(
-        _lcs_fn,
-        StructType(
-            [
-                StructField("span_len", LongType()),
-                StructField("span", StringType()),
-            ]
-        ),
+    _occ = pandas_udf(_occ_fn, occ_schema)
+    # struct built in one projection, fields fanned out in a SEPARATE one
+    # (CollapseProject keeps the UDF evaluated once — CLAUDE.md pattern)
+    tocc = texts.withColumn("_o", _occ(F.col("_s"))).select(
+        "_tid", "_s", F.col("_o.vals").alias("_v"), F.col("_o.poss").alias("_p")
     )
 
+    def _seeded_fn(a_s, av, ap, b_s, bv, bp):
+        import numpy as np
+        import pandas as pd
+
+        lens, spans = [], []
+        for sa, va, pa, sb, vb, pb in zip(a_s, av, ap, b_s, bv, bp):
+            sa = sa or ""
+            sb = sb or ""
+            if len(sa) + len(sb) < dp_small:
+                sp = longest_common_substring_py(sa, sb)
+                lens.append(len(sp))
+                spans.append(sp)
+                continue
+            occ_a = (np.asarray(va, np.int64), np.asarray(pa, np.int64))
+            occ_b = (np.asarray(vb, np.int64), np.asarray(pb, np.int64))
+            a0, _, ln = match_span_anchor_seeded_py(sa, sb, occ_a, occ_b, k)
+            lens.append(ln)
+            spans.append(sa[a0 : a0 + ln] if ln > 0 else "")
+        return pd.DataFrame({"span_len": lens, "span": spans})
+
+    _seeded = pandas_udf(_seeded_fn, span_schema)
+    # the pair relation is tiny in BYTES (AQE would coalesce it onto one
+    # task) but each row carries Python work — spread it across the cores
+    default_p = docs.sparkSession.sparkContext.defaultParallelism
     joined = (
         pairs.select("id_a", "id_b")
-        .join(texts.select(F.col("_tid").alias("id_a"), F.col("_s").alias("_sa")), "id_a")
-        .join(texts.select(F.col("_tid").alias("id_b"), F.col("_s").alias("_sb")), "id_b")
+        .repartition(default_p)
+        .join(
+            tocc.select(
+                F.col("_tid").alias("id_a"),
+                F.col("_s").alias("_sa"),
+                F.col("_v").alias("_va"),
+                F.col("_p").alias("_pa"),
+            ),
+            "id_a",
+        )
+        .join(
+            tocc.select(
+                F.col("_tid").alias("id_b"),
+                F.col("_s").alias("_sb"),
+                F.col("_v").alias("_vb"),
+                F.col("_p").alias("_pb"),
+            ),
+            "id_b",
+        )
     )
-    out = joined.withColumn("_r", _lcs(F.col("_sa"), F.col("_sb"))).select(
+    out = joined.withColumn(
+        "_r",
+        _seeded(
+            F.col("_sa"), F.col("_va"), F.col("_pa"),
+            F.col("_sb"), F.col("_vb"), F.col("_pb"),
+        ),
+    ).select(
         "id_a",
         "id_b",
         F.col("_r.span_len").alias("span_len"),

@@ -241,6 +241,49 @@ def test_substring_span_verify_recovers_planted_runs(spark):
     # min_len filter: raising the bar above the span drops the pair
     high = substring_dup_spans(df, pairs, "doc_id", "text", min_len=10_000)
     assert high.count() == 0
+    # anchor-seeded path == DP path on the same candidate relation (the
+    # seeded kernel is exact for every span the >= w+k-1 filter can keep)
+    dp = {
+        (r.id_a, r.id_b): r.span_len
+        for r in substring_dup_spans(
+            df, pairs, "doc_id", "text", use_anchors=False
+        ).collect()
+    }
+    assert {kk: v[0] for kk, v in spans.items()} == dp
+
+
+def test_substring_span_long_doc_pair_fast(spark):
+    """A ~200 KB book-length duplicate pair completes in seconds through the
+    anchor-seeded kernel (the O(n·m) DP would need ~10¹⁰ char compares) and
+    still reports the exact planted span length."""
+    import random
+    import time
+
+    from biocurator_mapper_spark.operators.dedup import (
+        substring_dup_candidates,
+        substring_dup_spans,
+    )
+
+    rng = random.Random(99)
+    alpha = "abcdefghijklmnop "
+    rand = lambda n: "".join(rng.choice(alpha) for _ in range(n))  # noqa: E731
+    lifted = rand(5_000)  # the plagiarized passage
+    rows = [
+        (1, rand(100_000) + " " + lifted + " " + rand(100_000)),
+        (2, rand(90_000) + " " + lifted + " " + rand(110_000)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = substring_dup_candidates(df, "doc_id", "text", k=20, w=30)
+    t0 = time.time()
+    got = substring_dup_spans(df, pairs, "doc_id", "text").collect()
+    elapsed = time.time() - t0
+    assert len(got) == 1 and got[0].id_a == 1 and got[0].id_b == 2
+    # spans live in NORMALIZED text (runs of spaces collapse to one), so
+    # the expected length is the normalized passage's
+    norm_lifted = re.sub(r"\s+", " ", lifted).strip()
+    assert got[0].span_len >= len(norm_lifted)
+    assert norm_lifted in got[0].span
+    assert elapsed < 30, f"long-doc span verify took {elapsed:.1f}s"
 
 
 def test_cut_duplicate_spans_removes_later_copy_only(spark):
