@@ -1050,6 +1050,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bpe_count_expr(F.col("text"), MERGES).alias("n_tokens"),
         )
 
+    def text_bpe_ids(spark, sf_dir):
+        # REAL tokenizer-ID sequences (array<int>): the checked-in merge
+        # table encoded against the fixed vocab (unk=0, printable ASCII,
+        # then merges in rank order) in one Arrow-batched pandas_udf.
+        # Oracle = independent rank-order-scan id encoder (VALUES with
+        # INTEGER[] literals). ids built in one projection, fanned out in a
+        # SEPARATE one (CollapseProject keeps the UDF evaluated once).
+        from biocurator_mapper_spark.functions.bpe import bpe_encode_expr
+        from biocurator_mapper_spark.functions.bpe_merges import MERGES
+
+        return (
+            _docs(spark, sf_dir)
+            .withColumn("_ids", bpe_encode_expr(F.col("text"), MERGES))
+            .select(
+                "doc_id",
+                F.size("_ids").cast("bigint").alias("n_ids"),
+                F.col("_ids").alias("ids"),
+            )
+        )
+
+    def pack_materialize_ids(spark, sf_dir):
+        # ctx-length windows of REAL BPE ids — the tensor-ready training
+        # input: encode (Arrow stage), then materialize 256-id sequences of
+        # the doc_id-ordered concatenated id stream via the distributed
+        # prefix scan + one balanced seq_id shuffle. Docs split at window
+        # boundaries, GPT-style.
+        from biocurator_mapper_spark.functions.bpe import bpe_encode_expr
+        from biocurator_mapper_spark.functions.bpe_merges import MERGES
+        from biocurator_mapper_spark.operators.packing import (
+            materialize_id_sequences,
+        )
+
+        return materialize_id_sequences(
+            _docs(spark, sf_dir),
+            "doc_id",
+            bpe_encode_expr(F.col("text"), MERGES),
+            ctx_len=256,
+        )
+
     def dedup_paragraphs(spark, sf_dir):
         # CCNet-style corpus-wide paragraph dedup (first occurrence of each
         # normalized paragraph wins; docs reassembled). The synthetic corpus
@@ -1323,57 +1362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- flagship + new this round -----------------------------------
         "kg_triples": kg_triples,
-        "text_bpe_real": text_bpe_real,
-        "pack_sequences": pack_sequences,
-        "sample_temperature": sample_temperature,
-        "dedup_paragraphs": dedup_paragraphs,
-        "train_shuffle_order": train_shuffle_order,
-        "profile_documents": profile_documents,
-        "dedup_incremental": dedup_incremental,
-        "pack_materialize": pack_materialize,
-        "dedup_contamination_report": dedup_contamination_report,
-        "sim_ann_ivf_indexed": sim_ann_ivf_indexed,
-        "dedup_substring_candidates": dedup_substring_candidates,
-        "dedup_substring_spans": dedup_substring_spans,
-        # --- no driver row in r4 (driver-green r3 or earlier) ------------
-        "dedup_simhash": dedup_simhash,
-        "sim_ann_lsh_topk": sim_ann_lsh_topk,
-        "sim_ann_ivf_topk": sim_ann_ivf_topk,
-        "text_simhash": text_simhash,
-        "text_token_count": text_token_count,
-        "lex_bm25_topk": lex_bm25_topk,
-        "sample_stratified": sample_stratified,
-        "sample_capped": sample_capped,
-        "text_pii_scrub": text_pii_scrub,
-        "text_repetition": text_repetition,
-        "text_bpe_token_count": text_bpe_token_count,
-        "events_rollup_report": events_rollup_report,
-        "skew_salted_join": skew_salted_join,
-        "text_quality": text_quality,
-        # --- evergreens (r4 driver-green) --------------------------------
-        "kg_exact_winner": kg_exact_winner,
-        "kg_co_mentions": kg_co_mentions,
-        "kg_exact_degree": kg_exact_degree,
-        "dedup_decontaminate_exact": dedup_decontaminate_exact,
-        "emb_dedup_clusters": emb_dedup_clusters,
-        "text_lm_score": text_lm_score,
-        "j7_canonical_mapping": j7_canonical_mapping,
-        "kg_mention_recall": kg_mention_recall,
-        "text_lang_id": text_lang_id,
-        "text_fingerprint": text_fingerprint,
-        "text_dup_ngrams": text_dup_ngrams,
-        "text_chunks": text_chunks,
-        "catalog_merge_upsert": catalog_merge_upsert,
-        "p1_parse_terms": p1_parse_terms,
-        "p2_curie_normalize": p2_curie_normalize,
-        "p7_searchable_text": p7_searchable_text,
-        "p8_searchable_config": p8_searchable_config,
-        "emb_cosine_pairs_exact": emb_cosine_pairs_exact,
-        "p9_truncate_text": p9_truncate_text,
-        "p13_content_hash": p13_content_hash,
-        "f2_quality_filter": f2_quality_filter,
-        "w2_keep_last_n": w2_keep_last_n,
-        "w3_latest_record": w3_latest_record,
+        "text_bpe_ids": text_bpe_ids,
+        "pack_materialize_ids": pack_materialize_ids,
+        # --- no driver row in r5 (driver-green r4) -----------------------
         "j6_mention_detect": j6_mention_detect,
         "j5_topk_similarity": j5_topk_similarity,
         "j5b_broadcast_matmul_topk": j5b_broadcast_matmul_topk,
@@ -1400,6 +1391,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_freq": text_ngram_freq,
         "emb_near_dup_pairs": emb_near_dup_pairs,
         "media_features_sha": media_features_sha,
+        # --- evergreens (r5 driver-green) --------------------------------
+        "text_bpe_real": text_bpe_real,
+        "pack_sequences": pack_sequences,
+        "sample_temperature": sample_temperature,
+        "dedup_paragraphs": dedup_paragraphs,
+        "train_shuffle_order": train_shuffle_order,
+        "profile_documents": profile_documents,
+        "dedup_incremental": dedup_incremental,
+        "pack_materialize": pack_materialize,
+        "dedup_contamination_report": dedup_contamination_report,
+        "sim_ann_ivf_indexed": sim_ann_ivf_indexed,
+        "dedup_substring_candidates": dedup_substring_candidates,
+        "dedup_substring_spans": dedup_substring_spans,
+        "dedup_simhash": dedup_simhash,
+        "sim_ann_lsh_topk": sim_ann_lsh_topk,
+        "sim_ann_ivf_topk": sim_ann_ivf_topk,
+        "text_simhash": text_simhash,
+        "text_token_count": text_token_count,
+        "lex_bm25_topk": lex_bm25_topk,
+        "sample_stratified": sample_stratified,
+        "sample_capped": sample_capped,
+        "text_pii_scrub": text_pii_scrub,
+        "text_repetition": text_repetition,
+        "text_bpe_token_count": text_bpe_token_count,
+        "events_rollup_report": events_rollup_report,
+        "skew_salted_join": skew_salted_join,
+        "text_quality": text_quality,
+        "kg_exact_winner": kg_exact_winner,
+        "kg_co_mentions": kg_co_mentions,
+        "kg_exact_degree": kg_exact_degree,
+        "dedup_decontaminate_exact": dedup_decontaminate_exact,
+        "emb_dedup_clusters": emb_dedup_clusters,
+        "text_lm_score": text_lm_score,
+        "j7_canonical_mapping": j7_canonical_mapping,
+        "kg_mention_recall": kg_mention_recall,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint": text_fingerprint,
+        "text_dup_ngrams": text_dup_ngrams,
+        "text_chunks": text_chunks,
+        "catalog_merge_upsert": catalog_merge_upsert,
+        "p1_parse_terms": p1_parse_terms,
+        "p2_curie_normalize": p2_curie_normalize,
+        "p7_searchable_text": p7_searchable_text,
+        "p8_searchable_config": p8_searchable_config,
+        "emb_cosine_pairs_exact": emb_cosine_pairs_exact,
+        "p9_truncate_text": p9_truncate_text,
+        "p13_content_hash": p13_content_hash,
+        "f2_quality_filter": f2_quality_filter,
+        "w2_keep_last_n": w2_keep_last_n,
+        "w3_latest_record": w3_latest_record,
     }
 
 
@@ -1998,6 +2039,89 @@ def _bpe_real_sql() -> str:
     return (
         f"SELECT doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens "
         f"FROM (VALUES\n  {vals}\n) AS t(doc_id, n_tokens)"
+    )
+
+
+def _reference_doc_ids() -> list[tuple[int, list[int]]]:
+    """(doc_id, ids) per corpus document through the INDEPENDENT id encoder
+    (rank-order scan-and-restart + fixed vocab) over DuckDB's RE2
+    pre-tokens — the shared generator for the two id-stream VALUES
+    oracles. Piece→ids cache makes it linear despite the scan encoder."""
+    import os as _os
+
+    import duckdb
+
+    from biocurator_mapper_spark.functions.bpe import (
+        reference_piece_ids,
+        vocab_from_merges,
+    )
+    from biocurator_mapper_spark.functions.bpe_merges import MERGES
+    from biocurator_mapper_spark.functions.text import BPE_TOKEN_RE
+
+    sf_dir = _os.environ.get(_ORACLE_SF_DIR_ENV, "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, regexp_extract_all(coalesce(text, ''), ?) "
+        f"FROM '{sf_dir}/documents.parquet' ORDER BY doc_id",
+        [BPE_TOKEN_RE],
+    ).fetchall()
+    con.close()
+    merges = [tuple(p) for p in MERGES]
+    vocab = vocab_from_merges(merges)
+    cache: dict[str, list[int]] = {}
+    out = []
+    for doc_id, pieces in rows:
+        ids: list[int] = []
+        for p in pieces:
+            got = cache.get(p)
+            if got is None:
+                got = cache[p] = reference_piece_ids(p, merges, vocab)
+            ids.extend(got)
+        out.append((doc_id, ids))
+    return out
+
+
+def _bpe_ids_sql() -> str:
+    """Oracle for text_bpe_ids: independent-encoder id arrays inlined as
+    INTEGER[] VALUES (the text_bpe_real pattern, array-valued)."""
+    docs = _reference_doc_ids()
+    if not docs:
+        return (
+            "SELECT NULL::BIGINT AS doc_id, NULL::BIGINT AS n_ids, "
+            "NULL::INTEGER[] AS ids WHERE false"
+        )
+    vals = ",\n  ".join(
+        f"({d}, {len(ids)}, {ids!r}::INTEGER[])" for d, ids in docs
+    )
+    return (
+        "SELECT doc_id::BIGINT AS doc_id, n_ids::BIGINT AS n_ids, ids "
+        f"FROM (VALUES\n  {vals}\n) AS t(doc_id, n_ids, ids)"
+    )
+
+
+def _pack_ids_sql(ctx_len: int = 256) -> str:
+    """Oracle for pack_materialize_ids: concatenate the independent
+    per-doc id encodings in doc_id order and window into ctx_len slices —
+    plain Python, inlined as VALUES."""
+    docs = _reference_doc_ids()
+    stream: list[int] = []
+    for _d, ids in docs:
+        stream.extend(ids)
+    if not stream:
+        return (
+            "SELECT NULL::BIGINT AS seq_id, NULL::BIGINT AS n_tokens, "
+            "NULL::INTEGER[] AS seq_ids WHERE false"
+        )
+    rows = []
+    for k in range((len(stream) + ctx_len - 1) // ctx_len):
+        seq = stream[k * ctx_len : (k + 1) * ctx_len]
+        rows.append((k, len(seq), seq))
+    vals = ",\n  ".join(
+        f"({k}, {n}, {seq!r}::INTEGER[])" for k, n, seq in rows
+    )
+    return (
+        "SELECT seq_id::BIGINT AS seq_id, n_tokens::BIGINT AS n_tokens, "
+        f"seq_ids FROM (VALUES\n  {vals}\n) AS t(seq_id, n_tokens, seq_ids)"
     )
 
 
@@ -2653,6 +2777,8 @@ def oracle_sql() -> dict[str, str]:
             FROM rep
         """,
         "text_bpe_real": _bpe_real_sql(),
+        "text_bpe_ids": _bpe_ids_sql(),
+        "pack_materialize_ids": _pack_ids_sql(),
         "sample_temperature": _temperature_sample_sql(),
         "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
         "pack_materialize": """

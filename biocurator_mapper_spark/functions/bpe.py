@@ -187,6 +187,75 @@ def reference_piece_count(piece: str, merges: Sequence[Pair]) -> int:
     return len(word)
 
 
+# ------------------------------------------------------------------- vocab
+
+#: id 0 is the OOV symbol: any surviving symbol outside the vocab (a rare
+#: codepoint the trainer never saw) maps here, so every id stream is total.
+UNK_ID = 0
+
+
+def vocab_from_merges(merges: Sequence[Pair]) -> dict[str, int]:
+    """Deterministic symbol→id table: id 0 = ``<unk>``, ids 1..95 the
+    printable-ASCII base alphabet (chr(32)..chr(126) in codepoint order —
+    fixed, engine- and data-independent), then one id per merge in rank
+    order for the merged symbol. A merged string reachable through two
+    merge paths keeps its FIRST id (ids depend only on the surviving
+    symbol string, so encoders agree regardless of path)."""
+    vocab: dict[str, int] = {}
+    nxt = UNK_ID + 1
+    for cp in range(32, 127):
+        vocab[chr(cp)] = nxt
+        nxt += 1
+    for a, b in merges:
+        s = a + b
+        if s not in vocab:
+            vocab[s] = nxt
+        nxt += 1
+    return vocab
+
+
+def piece_token_ids(
+    piece: str, ranks: dict[Pair, int], vocab: dict[str, int]
+) -> list[int]:
+    """Production id encoder: the same lowest-ranked-pair-first merge loop
+    as :func:`piece_token_count`, then each surviving symbol looks up its
+    vocab id (OOV → :data:`UNK_ID`). ``len(result)`` always equals
+    :func:`piece_token_count`."""
+    word: tuple[str, ...] = tuple(piece)
+    while len(word) > 1:
+        best_rank: int | None = None
+        best: Pair | None = None
+        prev = word[0]
+        for sym in word[1:]:
+            r = ranks.get((prev, sym))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (prev, sym)
+            prev = sym
+        if best is None:
+            break
+        word = _merge_word(word, best[0], best[1])
+    return [vocab.get(s, UNK_ID) for s in word]
+
+
+def reference_piece_ids(
+    piece: str, merges: Sequence[Pair], vocab: dict[str, int]
+) -> list[int]:
+    """Oracle twin of :func:`piece_token_ids` built on the independently
+    shaped :func:`reference_piece_count` loop (rank-order scan-and-restart);
+    pinned equivalent in tests exactly like the count pair."""
+    word: tuple[str, ...] = tuple(piece)
+    applied = True
+    while applied and len(word) > 1:
+        applied = False
+        for a, b in merges:
+            w = _merge_word(word, a, b)
+            if len(w) != len(word):
+                word = w
+                applied = True
+                break
+    return [vocab.get(s, UNK_ID) for s in word]
+
+
 # -------------------------------------------------------------- Spark layer
 
 
@@ -220,3 +289,42 @@ def bpe_count_expr(text: Column, merges: Sequence[Pair]) -> Column:
         F.coalesce(text, F.lit("")), F.lit(BPE_TOKEN_RE), 0
     )
     return _count(pieces)
+
+
+def bpe_encode_expr(text: Column, merges: Sequence[Pair]) -> Column:
+    """Real-BPE token-ID column (``array<int>``): the same JVM pre-tokenize
+    as :func:`bpe_count_expr`, then one Arrow-batched ``pandas_udf`` encodes
+    each piece to vocab ids (:func:`vocab_from_merges` fixes the id space)
+    and concatenates per document. NULL text → empty array. The Zipfian
+    piece→ids cache amortizes the merge loop exactly like the counter; the
+    vocab+ranks travel in the closure (executor-reimport-safe).
+
+    Scale note: embarrassingly parallel, zero shuffles, linear in corpus
+    bytes — the one Python stage a 100 TB tokenization pass genuinely
+    needs (a real tokenizer is per-piece Python/Rust work either way)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = merge_ranks(merges)
+    vocab = vocab_from_merges(merges)
+
+    @pandas_udf("array<int>")
+    def _encode(pieces_s: pd.Series) -> pd.Series:
+        cache: dict[str, list[int]] = {}
+        out = []
+        for pieces in pieces_s:
+            if pieces is None:
+                out.append([])
+                continue
+            ids: list[int] = []
+            for p in pieces:
+                got = cache.get(p)
+                if got is None:
+                    got = cache[p] = piece_token_ids(p, ranks, vocab)
+                ids.extend(got)
+            out.append(ids)
+        return pd.Series(out)
+
+    pieces = F.regexp_extract_all(
+        F.coalesce(text, F.lit("")), F.lit(BPE_TOKEN_RE), 0
+    )
+    return _encode(pieces)

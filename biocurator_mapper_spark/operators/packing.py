@@ -164,6 +164,66 @@ def materialize_sequences(
     total explode output ≈ corpus tokens / ctx_len + n_docs — then ONE
     shuffle keyed on seq_id (balanced: every sequence is the same size by
     construction) to assemble fragments in stream order."""
+    frags = _sequence_fragments(docs, id_col, tokens_arr, ctx_len, num_ranges)
+    return (
+        frags.groupBy("seq_id")
+        .agg(
+            F.sum(F.size("_frag")).cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_cum", "_frag"))),
+                        lambda x: x["_frag"],
+                    )
+                ),
+                sep,
+            ).alias("seq_text"),
+        )
+        .select("seq_id", "n_tokens", "seq_text")
+    )
+
+
+def materialize_id_sequences(
+    docs: DataFrame,
+    id_col: str,
+    ids_arr: Column,
+    ctx_len: int,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """(seq_id, n_tokens, seq_ids) — :func:`materialize_sequences` for REAL
+    tokenizer ids: ``ids_arr`` is an ``array<int>`` expression (compose with
+    ``functions.bpe.bpe_encode_expr``) and sequence k holds ids
+    [k·ctx_len, (k+1)·ctx_len) of the id-ordered concatenated id stream —
+    ctx-length windows of actual BPE ids, the tensor-ready training input.
+    Same distributed plan: prefix scan, bounded span explode, one balanced
+    seq_id shuffle; fragments reassemble in stream order via the
+    ``_cum``-sorted struct list."""
+    frags = _sequence_fragments(docs, id_col, ids_arr, ctx_len, num_ranges)
+    return (
+        frags.groupBy("seq_id")
+        .agg(
+            F.sum(F.size("_frag")).cast("bigint").alias("n_tokens"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_cum", "_frag"))),
+                    lambda x: x["_frag"],
+                )
+            ).alias("seq_ids"),
+        )
+        .select("seq_id", "n_tokens", "seq_ids")
+    )
+
+
+def _sequence_fragments(
+    docs: DataFrame,
+    id_col: str,
+    tokens_arr: Column,
+    ctx_len: int,
+    num_ranges: int | None,
+) -> DataFrame:
+    """Shared (seq_id, _cum, _frag) fragment relation for the two
+    materializers: each row is the slice of one doc's token array that
+    falls inside one ctx-window (element type passes through untouched)."""
     if ctx_len <= 0:
         raise ValueError("ctx_len must be positive")
     base = docs.select(
@@ -189,7 +249,7 @@ def materialize_sequences(
     frag_end = F.least(
         F.col("_nt"), (F.col("seq_id") + 1) * ctx_len - F.col("_cum")
     )
-    frags = spans.select(
+    return spans.select(
         "seq_id",
         "_cum",
         F.slice(
@@ -197,20 +257,4 @@ def materialize_sequences(
             (frag_start + 1).cast("int"),
             (frag_end - frag_start).cast("int"),
         ).alias("_frag"),
-    )
-    return (
-        frags.groupBy("seq_id")
-        .agg(
-            F.sum(F.size("_frag")).cast("bigint").alias("n_tokens"),
-            F.array_join(
-                F.flatten(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("_cum", "_frag"))),
-                        lambda x: x["_frag"],
-                    )
-                ),
-                sep,
-            ).alias("seq_text"),
-        )
-        .select("seq_id", "n_tokens", "seq_text")
     )

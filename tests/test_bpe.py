@@ -158,3 +158,87 @@ def test_spark_expr_null_text_counts_zero(spark):
         .collect()
     )
     assert got[1] == 0 and got[2] == 0 and got[3] >= 1
+
+
+# ------------------------------------------------------------ id encoders
+
+
+def _vocab():
+    from biocurator_mapper_spark.functions.bpe import vocab_from_merges
+
+    return vocab_from_merges(MERGES)
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_id_encoders_equivalent_on_real_table(piece):
+    from biocurator_mapper_spark.functions.bpe import (
+        piece_token_ids,
+        reference_piece_ids,
+    )
+
+    vocab = _vocab()
+    prod = piece_token_ids(piece, _RANKS, vocab)
+    ref = reference_piece_ids(piece, MERGES, vocab)
+    assert prod == ref
+    # ids and counts agree: len(ids) IS the token count
+    assert len(prod) == piece_token_count(piece, _RANKS)
+
+
+def test_vocab_deterministic_and_total():
+    from biocurator_mapper_spark.functions.bpe import (
+        UNK_ID,
+        piece_token_ids,
+        vocab_from_merges,
+    )
+
+    vocab = _vocab()
+    assert vocab == vocab_from_merges(list(MERGES))  # pure function of table
+    assert vocab[" "] == 1 and vocab["~"] == 95  # printable-ASCII base block
+    # every merged symbol has an id above the base block
+    for a, b in MERGES:
+        assert vocab[a + b] > 95
+    # OOV codepoints map to UNK, never crash
+    assert piece_token_ids("é中", _RANKS, vocab) == [UNK_ID, UNK_ID]
+
+
+def test_spark_id_expr_matches_driver_side(spark):
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.functions.bpe import (
+        bpe_encode_expr,
+        piece_token_ids,
+    )
+    from biocurator_mapper_spark.functions.text import BPE_TOKEN_RE
+
+    import duckdb
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r.doc_id: r.ids
+        for r in docs.select(
+            "doc_id", bpe_encode_expr(F.col("text"), MERGES).alias("ids")
+        ).collect()
+    }
+    vocab = _vocab()
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, regexp_extract_all(coalesce(text, ''), ?) "
+        "FROM '/root/testdata/sf0.001/documents.parquet'",
+        [BPE_TOKEN_RE],
+    ).fetchall()
+    con.close()
+    assert len(got) == len(rows) > 0
+    for doc_id, pieces in rows[:50]:
+        want = [
+            i for p in pieces for i in piece_token_ids(p, _RANKS, vocab)
+        ]
+        assert got[doc_id] == want, doc_id
+    # null text encodes to the empty array
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert (
+        df.select(bpe_encode_expr(F.col("text"), MERGES).alias("ids"))
+        .first()
+        .ids
+        == []
+    )

@@ -190,3 +190,51 @@ def test_pack_sequences_no_global_single_partition_window(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(docs, "doc_id", "n_chars", ctx_len=0)
+
+
+def test_materialize_id_sequences_round_trip(spark):
+    """The packed id stream equals the per-doc BPE encodings concatenated in
+    id order (the tensor-ready training input); every window except the last
+    is exactly ctx_len ids; boundary-spanning docs split correctly."""
+    from biocurator_mapper_spark.functions.bpe import (
+        bpe_encode_expr,
+        merge_ranks,
+        piece_token_ids,
+        vocab_from_merges,
+    )
+    from biocurator_mapper_spark.functions.bpe_merges import MERGES
+    from biocurator_mapper_spark.functions.text import BPE_TOKEN_RE
+    from biocurator_mapper_spark.operators.packing import (
+        materialize_id_sequences,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seqs = sorted(
+        materialize_id_sequences(
+            docs, "doc_id", bpe_encode_expr(F.col("text"), MERGES), ctx_len=97
+        ).collect(),
+        key=lambda r: r.seq_id,
+    )
+    stream = [i for s in seqs for i in s.seq_ids]
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, regexp_extract_all(coalesce(text, ''), ?) "
+        "FROM '/root/testdata/sf0.001/documents.parquet' ORDER BY doc_id",
+        [BPE_TOKEN_RE],
+    ).fetchall()
+    con.close()
+    ranks, vocab = merge_ranks(MERGES), vocab_from_merges(MERGES)
+    want = [
+        i
+        for _d, pieces in rows
+        for p in pieces
+        for i in piece_token_ids(p, ranks, vocab)
+    ]
+    assert stream == want and len(want) > 0
+    lens = [s.n_tokens for s in seqs]
+    assert all(n == 97 for n in lens[:-1]) and 0 < lens[-1] <= 97
+    assert [s.seq_id for s in seqs] == list(range(len(seqs)))
+    assert all(len(s.seq_ids) == s.n_tokens for s in seqs)
