@@ -52,6 +52,41 @@ def plane_signs(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray
     return np.where(flat > 0, 1, -1).astype(np.int64)
 
 
+# Signature UDFs cached per (SparkContext, lsh args): the per-call cost of
+# a fresh one is the sign-matrix broadcast pickle (~0.1-0.3 s of every ANN
+# plan build) plus UDF wrapper creation, yet the UDF is a pure function of
+# its scalar args and the session — the cosine_expr parse-cache treatment.
+# Keyed by SparkContext IDENTITY (checked on hit) so a restarted session
+# can never serve a broadcast owned by a stopped context.
+_SIG_UDF_CACHE: dict = {}
+
+
+def _sig_udf(sc, dim: int, n_planes: int, n_tables: int, seed: int):
+    key = (id(sc), dim, n_planes, n_tables, seed)
+    cached = _SIG_UDF_CACHE.get(key)
+    if cached is not None and cached[0] is sc:
+        return cached[1]
+    signs = plane_signs(dim, n_planes, n_tables, seed)  # (T*P, dim) int64
+    bc = sc.broadcast((signs.T, n_tables, n_planes))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _sig(vecs: pd.Series) -> pd.Series:
+        st, nt, npl = bc.value  # (dim, T*P)
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).values)
+        bits = (quantize(mat) @ st) > 0  # (B, T*P) — exact int compare
+        weights = 1 << np.arange(npl)
+        out = []
+        for row in bits:
+            sig = row.reshape(nt, npl) @ weights
+            out.append([int(t) * (1 << npl) + int(s) for t, s in enumerate(sig)])
+        return pd.Series(out)
+
+    if len(_SIG_UDF_CACHE) > 64:  # dead-context entries; bound the dict
+        _SIG_UDF_CACHE.clear()
+    _SIG_UDF_CACHE[key] = (sc, _sig)
+    return _sig
+
+
 def with_lsh_buckets(
     df: DataFrame,
     vec_col: str,
@@ -68,24 +103,10 @@ def with_lsh_buckets(
     matmul per Arrow batch over the quantized vectors. Integer arithmetic
     makes the bucket assignment exactly reproducible by a SQL oracle
     (float32 matmuls can flip the sign of near-zero dots between engines).
-    """
-    spark = df.sparkSession
-    signs = plane_signs(dim, n_planes, n_tables, seed)  # (T*P, dim) int64
-    bc = spark.sparkContext.broadcast((signs.T, n_tables, n_planes))
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def _sig(vecs: pd.Series) -> pd.Series:
-        st, nt, npl = bc.value  # (dim, T*P)
-        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).values)
-        bits = (quantize(mat) @ st) > 0  # (B, T*P) — exact int compare
-        weights = 1 << np.arange(npl)
-        out = []
-        for row in bits:
-            sig = row.reshape(nt, npl) @ weights
-            out.append([int(t) * (1 << npl) + int(s) for t, s in enumerate(sig)])
-        return pd.Series(out)
-
-    return df.withColumn(out_col, _sig(F.col(vec_col)))
+    The UDF (and its broadcast) is cached per (SparkContext, args) — see
+    ``_sig_udf``."""
+    sig = _sig_udf(df.sparkSession.sparkContext, dim, n_planes, n_tables, seed)
+    return df.withColumn(out_col, sig(F.col(vec_col)))
 
 
 def lsh_topk(
@@ -403,6 +424,7 @@ def build_ivf_index(
     n_centroids: int = 16,
     train_sample: int = 10_000,
     seed: int = 7,
+    centroids: np.ndarray | None = None,
 ) -> int:
     """Materialize a persistent IVF index into the catalog — the
     vector-database shape the reference delegates to Weaviate
@@ -415,12 +437,20 @@ def build_ivf_index(
       probe of ``nprobe`` lists reads only those partitions (partition
       pruning does at rest what the centroid-id shuffle does in flight).
 
-    Build once, search many; rebuild after corpus churn (or MERGE new rows
-    into the postings by id — assignment is per-row and order-free).
-    Returns the number of centroids written."""
+    Build once, search many; append-only corpus churn MERGEs into the
+    postings via :func:`merge_ivf_index` (assignment is per-row and
+    order-free against the STORED coarse quantizer — FAISS ``add()``
+    semantics); retrain/rebuild only when drift degrades recall.
+    ``centroids`` overrides training with an explicit quantized coarse
+    quantizer (rows of ``ivf_centroids`` output). Returns the number of
+    centroids written."""
     spark = corpus.sparkSession
-    qcents = ivf_centroids(
-        corpus, corpus_id_col, corpus_vec, n_centroids, train_sample, seed
+    qcents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            corpus, corpus_id_col, corpus_vec, n_centroids, train_sample, seed
+        )
     )
     rows = [(int(i), [int(x) for x in row]) for i, row in enumerate(qcents)]
     cent_df = spark.createDataFrame(
@@ -443,6 +473,51 @@ def build_ivf_index(
         postings = corpus.withColumn("centroid_id", F.lit(None).cast("int"))
         catalog.write_replace(postings, f"{index_name}_postings")
     return len(rows)
+
+
+def merge_ivf_index(
+    catalog,
+    index_name: str,
+    new_rows: DataFrame,
+    corpus_id_col: str = "corpus_id",
+    corpus_vec: str = "c_embedding",
+) -> str:
+    """MERGE new corpus rows into a stored IVF index WITHOUT a rebuild —
+    the append path for corpus churn (FAISS ``add()`` semantics): each new
+    row is assigned to its nearest STORED centroid (the coarse quantizer is
+    frozen; retraining is a rebuild decision, not an ingest step) and
+    ``catalog.merge_upsert`` rewrites only the centroid partitions the
+    batch lands in, re-linking every untouched inverted list. The postings
+    keep their ``centroid_id`` partitioning, so probe-time partition
+    pruning is unaffected. Re-ingesting an id replaces its posting
+    (assignment is a pure function of the vector, so an unchanged row
+    cannot migrate partitions — the merge precondition). Returns the new
+    postings version.
+
+    Equivalence (pinned in tests): postings-after-merge equals a fresh
+    ``build_ivf_index`` over the full corpus given the SAME coarse
+    quantizer."""
+    spark = new_rows.sparkSession
+    cent_rows = sorted(
+        catalog.read(f"{index_name}_centroids").collect(),
+        key=lambda r: r.centroid_id,
+    )
+    if not cent_rows:
+        raise ValueError(
+            f"index {index_name!r} has no centroids — build it first"
+        )
+    qcents = np.array([r.centroid for r in cent_rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast(qcents)
+    assigned = new_rows.withColumn(
+        "centroid_id",
+        F.explode_outer(centroid_assign_udf(bc, 1)(F.col(corpus_vec))),
+    )
+    return catalog.merge_upsert(
+        assigned,
+        f"{index_name}_postings",
+        key_cols=[corpus_id_col],
+        partition_col="centroid_id",
+    )
 
 
 def ivf_index_search(

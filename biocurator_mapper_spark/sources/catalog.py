@@ -138,6 +138,7 @@ class ParquetCatalog:
         table: str,
         key_cols: list[str],
         n_buckets: int = 64,
+        partition_col: str | None = None,
     ) -> str:
         """Row-level MERGE — Iceberg's ``MERGE INTO t USING s ON keys WHEN
         MATCHED THEN UPDATE * WHEN NOT MATCHED THEN INSERT *`` (the J3
@@ -156,10 +157,22 @@ class ParquetCatalog:
           ``write_replace`` (readers see old-or-new, never a mix).
 
         The first merge on a missing table initializes it (full write).
-        ``n_buckets`` and ``key_cols`` are pinned in ``MERGE_META`` on that
-        first merge; later calls must agree. Duplicate keys within one
-        source batch are an error (Iceberg raises the same way — the merge
-        would be non-deterministic). Returns the new version name.
+        ``n_buckets``, ``key_cols``, and ``partition_col`` are pinned in
+        ``MERGE_META`` on that first merge; later calls must agree.
+        Duplicate keys within one source batch are an error (Iceberg raises
+        the same way — the merge would be non-deterministic). Returns the
+        new version name.
+
+        ``partition_col`` switches the COW granularity from hash buckets to
+        a DOMAIN partition column the source already carries (e.g. an IVF
+        index's ``centroid_id`` — see ``operators.similarity
+        .merge_ivf_index``): only partitions a source row lands in are
+        rewritten, and the table keeps its semantic partition pruning at
+        rest. The anti-join that replaces matched keys is pruned to those
+        partitions, so an UPDATE must keep a key's partition value stable
+        (true whenever the partition is a pure function of the key or the
+        churn is append-only); a key that migrates partitions would leave
+        its old row behind.
         """
         from pyspark.sql import functions as F
 
@@ -173,31 +186,44 @@ class ParquetCatalog:
                 raise ValueError(
                     f"merge keys {key_cols} != table keys {meta['key_cols']}"
                 )
+            stored_pcol = meta.get("partition_col")
+            if stored_pcol != partition_col:
+                raise ValueError(
+                    f"merge partition_col {partition_col!r} != table's "
+                    f"{stored_pcol!r}"
+                )
             n_buckets = meta["n_buckets"]
-        data_cols = [c for c in source.columns if c != "part_bucket"]
+        pcol = partition_col or "part_bucket"
+        data_cols = [c for c in source.columns if c != pcol]
         key_expr = [F.col(c) for c in key_cols]
-        src = source.select(*data_cols).withColumn(
-            "part_bucket", F.pmod(F.hash(*key_expr), F.lit(n_buckets))
-        )
-        # one small agg job: bucket list for pruning + key sanity checks
-        null_key = None
+        if partition_col is None:
+            src = source.select(*data_cols).withColumn(
+                pcol, F.pmod(F.hash(*key_expr), F.lit(n_buckets))
+            )
+        else:
+            if partition_col not in source.columns:
+                raise ValueError(
+                    f"source lacks partition column {partition_col!r}"
+                )
+            src = source
+        # one small agg job: partition list for pruning + key sanity checks
+        null_key = F.col(pcol).isNull()
         for c in key_cols:
-            cond = F.col(c).isNull()
-            null_key = cond if null_key is None else (null_key | cond)
-        stats = src.groupBy("part_bucket").agg(
+            null_key = null_key | F.col(c).isNull()
+        stats = src.groupBy(pcol).agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(*key_expr).alias("nd"),
             F.sum(null_key.cast("int")).alias("nn"),
         ).collect()
         if any(r.nn for r in stats):
-            raise ValueError("null values in merge key columns")
+            raise ValueError("null values in merge key or partition columns")
         # nd (count_distinct) ignores NULLs, so this check is only sound
         # after the null-key guard above
         if any(r.n != r.nd for r in stats):
             raise ValueError(
                 "duplicate keys in merge source — dedup before merging"
             )
-        affected = sorted(int(r.part_bucket) for r in stats)
+        affected = sorted(int(r[pcol]) for r in stats)
         n_source = int(sum(r.n for r in stats))
         live = self.current_version(table)
         if not affected:
@@ -215,7 +241,7 @@ class ParquetCatalog:
             from pyspark.sql import Observation
 
             # partition-pruned read of ONLY the affected buckets
-            target = self.read(table).where(F.col("part_bucket").isin(affected))
+            target = self.read(table).where(F.col(pcol).isin(affected))
             # upsert sources are normally tiny next to the table — AQE
             # turns this anti-join into a broadcast when the key set is
             # small; huge backfills degrade gracefully to a shuffle join
@@ -223,14 +249,14 @@ class ParquetCatalog:
             # commit stats ride the write job (Observation — no extra scan)
             obs = Observation(f"merge_kept_{run_id}")
             keep = keep.observe(obs, F.count(F.lit(1)).alias("n"))
-            merged = keep.select(*data_cols, "part_bucket").unionByName(
-                src.select(*data_cols, "part_bucket")
+            merged = keep.select(*data_cols, pcol).unionByName(
+                src.select(*data_cols, pcol)
             )
         else:
             merged = src
         n_kept = 0
         if affected:
-            merged.write.mode("overwrite").partitionBy("part_bucket").parquet(
+            merged.write.mode("overwrite").partitionBy(pcol).parquet(
                 run_dir
             )
             if obs is not None:
@@ -244,13 +270,13 @@ class ParquetCatalog:
         targets: dict[str, str] = {}
         if live is not None:
             live_dir = os.path.join(tdir, live)
-            affected_names = {f"part_bucket={b}" for b in affected}
+            affected_names = {f"{pcol}={b}" for b in affected}
             for name in os.listdir(live_dir):
-                if name.startswith("part_bucket=") and name not in affected_names:
+                if name.startswith(f"{pcol}=") and name not in affected_names:
                     targets[name] = os.path.realpath(os.path.join(live_dir, name))
         if os.path.isdir(run_dir):
             for name in os.listdir(run_dir):
-                if name.startswith("part_bucket="):
+                if name.startswith(f"{pcol}="):
                     # absolute target: a relative warehouse path would make
                     # the symlink resolve relative to the LINK's directory
                     # (dangling) instead of the repo cwd
@@ -262,7 +288,14 @@ class ParquetCatalog:
         if not os.path.exists(meta_path):
             tmp = meta_path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"key_cols": list(key_cols), "n_buckets": n_buckets}, f)
+                json.dump(
+                    {
+                        "key_cols": list(key_cols),
+                        "n_buckets": n_buckets,
+                        "partition_col": partition_col,
+                    },
+                    f,
+                )
             os.replace(tmp, meta_path)
         self._commit_pointer(table, version)
         # Iceberg-style commit summary, one row per merge snapshot
@@ -298,18 +331,21 @@ class ParquetCatalog:
         tdir = self._table_dir(table)
         meta_path = os.path.join(tdir, "MERGE_META")
         key_cols: list[str] = []
+        pcol = "part_bucket"
         if os.path.exists(meta_path):
             with open(meta_path) as f:
-                key_cols = json.load(f)["key_cols"]
+                meta = json.load(f)
+            key_cols = meta["key_cols"]
+            pcol = meta.get("partition_col") or "part_bucket"
         df = self.read(table)
-        if "part_bucket" in df.columns:
+        if pcol in df.columns:
             # one output file per bucket dir: repartition on the partition
             # column so each task owns whole buckets (the dynamic-partition
             # write otherwise emits one file per (task, bucket) pair)
-            df = df.repartition(F.col("part_bucket"))
+            df = df.repartition(F.col(pcol))
             if key_cols:
                 df = df.sortWithinPartitions(*key_cols)
-            return self.write_replace(df, table, partition_by=["part_bucket"])
+            return self.write_replace(df, table, partition_by=[pcol])
         return self.write_replace(df, table)
 
     def vacuum_merges(self, table: str) -> list[str]:

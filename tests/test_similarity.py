@@ -262,3 +262,83 @@ def test_lsh_dedup_exchanges_carry_ids_only(spark, vec_data):
         and "_va" in line
     ]
     assert not bad2, f"vector columns in pair/dedup exchange: {bad2}"
+
+
+def test_merge_ivf_index_equals_rebuild_same_quantizer(spark, tmp_path):
+    """Append-only churn: building on corpus A then MERGEing batch B equals
+    a fresh build over A∪B with the SAME coarse quantizer — postings rows
+    identical, search results identical — and the merge rewrites only the
+    centroid partitions batch B lands in (untouched inverted lists are
+    re-linked, not rewritten)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_centroids,
+        ivf_index_search,
+        merge_ivf_index,
+    )
+    from biocurator_mapper_spark.sources.catalog import ParquetCatalog
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    a = corpus.where(~F.col("corpus_id").isin(3, 77, 191))
+    b = corpus.where(F.col("corpus_id").isin(3, 77, 191))
+    # freeze ONE coarse quantizer (trained on A — what a real deployment
+    # has at merge time) and give it to both paths
+    qcents = ivf_centroids(
+        a, "corpus_id", "c_embedding", 8, 10_000, seed=7
+    )
+
+    cat_m = ParquetCatalog(spark, str(tmp_path / "wh_m"))
+    build_ivf_index(cat_m, "idx", a, centroids=qcents)
+    v0 = cat_m.current_version("idx_postings")
+    merge_ivf_index(cat_m, "idx", b)
+
+    cat_f = ParquetCatalog(spark, str(tmp_path / "wh_f"))
+    build_ivf_index(cat_f, "idx", corpus, centroids=qcents)
+
+    key = lambda r: (r.corpus_id, r.centroid_id, tuple(r.c_embedding))  # noqa: E731
+    got = sorted(map(key, cat_m.read("idx_postings").collect()))
+    want = sorted(map(key, cat_f.read("idx_postings").collect()))
+    assert got == want and len(got) == corpus.count()
+
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    res = lambda c: sorted(  # noqa: E731
+        (r.query_id, r.rank, r.corpus_id, r.cosine)
+        for r in ivf_index_search(c, "idx", queries, k=5, nprobe=3).collect()
+    )
+    assert res(cat_m) == res(cat_f) and res(cat_m)
+
+    # COW at centroid granularity: partitions B never touched are SYMLINKS
+    # into the pre-merge snapshot, not rewritten files
+    v1 = cat_m.current_version("idx_postings")
+    assert v1 != v0
+    snap = os.path.join(str(tmp_path / "wh_m"), "idx_postings", v1)
+    links = [d for d in os.listdir(snap) if os.path.islink(os.path.join(snap, d))]
+    b_cents = {
+        r.centroid_id
+        for r in cat_m.read("idx_postings")
+        .join(b.select("corpus_id"), "corpus_id", "left_semi")
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    }
+    all_parts = [d for d in os.listdir(snap) if d.startswith("centroid_id=")]
+    assert 0 < len(b_cents) < len(all_parts), "batch must miss some lists"
+    for d in all_parts:
+        cid = int(d.split("=", 1)[1])
+        if cid not in b_cents:
+            assert d in links, f"untouched list {d} was rewritten"
+
+    # idempotent replay: merging the same batch again changes nothing
+    merge_ivf_index(cat_m, "idx", b)
+    assert sorted(map(key, cat_m.read("idx_postings").collect())) == want
