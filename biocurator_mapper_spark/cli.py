@@ -170,7 +170,10 @@ def cmd_mix(args) -> int:
 
 
 def cmd_pack(args) -> int:
-    """Sequence-packing manifest: doc → (seq_id, seq_offset) → parquet."""
+    """Sequence-packing manifest: doc → (seq_id, seq_offset) → parquet.
+    With ``--bpe-ids``, ALSO materialize the ctx-length windows of real
+    BPE token ids (seq_id, n_tokens, seq_ids array<int>) to
+    ``<out>_sequences`` — the tensor-ready training input."""
     from pyspark.sql import functions as F
 
     from .functions.text import token_count
@@ -178,10 +181,26 @@ def cmd_pack(args) -> int:
 
     spark = _spark()
     docs = spark.read.parquet(args.docs)
-    base = docs.select(
-        args.id_col,
-        token_count(F.col(args.text_col)).cast("bigint").alias("n_tokens"),
-    )
+    seq_out = None
+    if args.bpe_ids:
+        from .functions.bpe import bpe_encode_expr
+        from .functions.bpe_merges import MERGES
+        from .operators.packing import materialize_id_sequences
+
+        enc = bpe_encode_expr(F.col(args.text_col), MERGES)
+        seq_out = args.out.rstrip("/") + "_sequences"
+        materialize_id_sequences(
+            docs, args.id_col, enc, args.ctx_len
+        ).write.mode("overwrite").parquet(seq_out)
+        # the manifest counts the SAME tokenizer the sequences use
+        base = docs.withColumn("_ids", enc).select(
+            args.id_col, F.size("_ids").cast("bigint").alias("n_tokens")
+        )
+    else:
+        base = docs.select(
+            args.id_col,
+            token_count(F.col(args.text_col)).cast("bigint").alias("n_tokens"),
+        )
     packed = pack_sequences(base, args.id_col, "n_tokens", args.ctx_len)
     packed.write.mode("overwrite").parquet(args.out)
     # n_sequences = occupied sequences only: max(end_seq_id)+1 over-counts
@@ -203,6 +222,7 @@ def cmd_pack(args) -> int:
                 "n_sequences": stats["seqs"],
                 "ctx_len": args.ctx_len,
                 "out": args.out,
+                "sequences": seq_out,
             }
         )
     )
@@ -297,6 +317,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--ctx-len", type=int, default=2048)
+    p.add_argument(
+        "--bpe-ids",
+        action="store_true",
+        help="also materialize ctx-length windows of real BPE token ids "
+        "to <out>_sequences",
+    )
     p.set_defaults(fn=cmd_pack)
 
     s = sub.add_parser("status", help="metrics / checkpoints / versions")

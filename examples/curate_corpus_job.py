@@ -60,6 +60,10 @@ def main() -> int:
     ap.add_argument("--pack-ctx", type=int, default=None,
                     help="context length: also write <out>_manifest with "
                          "shuffle order + packing assignment")
+    ap.add_argument("--emit-id-sequences", action="store_true",
+                    help="with --pack-ctx: also materialize the ctx-length "
+                         "windows of real BPE token ids to <out>_sequences "
+                         "(the tensor-ready training input)")
     ap.add_argument("--shuffle-seed", default="0")
     args = ap.parse_args()
 
@@ -140,8 +144,16 @@ def main() -> int:
             shuffle_rank,
         )
 
+        if args.emit_id_sequences:
+            # the manifest must count the SAME tokenizer the id windows use
+            from biocurator_mapper_spark.functions.bpe import bpe_count_expr
+            from biocurator_mapper_spark.functions.bpe_merges import MERGES
+
+            n_tok = bpe_count_expr(F.col(text_col), MERGES)
+        else:
+            n_tok = token_count(F.col(text_col))
         base = kept.select(
-            id_col, token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
+            id_col, n_tok.cast("bigint").alias("n_tokens")
         )
         manifest = pack_sequences(base, id_col, "n_tokens", args.pack_ctx).join(
             shuffle_rank(kept.select(id_col), id_col, seed=args.shuffle_seed),
@@ -149,6 +161,23 @@ def main() -> int:
         )
         manifest_out = args.out.rstrip("/") + "_manifest"
         manifest.write.mode("overwrite").parquet(manifest_out)
+
+    # 6c. optional tensor-ready output: ctx-length windows of REAL BPE ids
+    sequences_out = None
+    if args.pack_ctx and args.emit_id_sequences:
+        from biocurator_mapper_spark.functions.bpe import bpe_encode_expr
+        from biocurator_mapper_spark.functions.bpe_merges import MERGES
+        from biocurator_mapper_spark.operators.packing import (
+            materialize_id_sequences,
+        )
+
+        sequences_out = args.out.rstrip("/") + "_sequences"
+        materialize_id_sequences(
+            kept,
+            id_col,
+            bpe_encode_expr(F.col(text_col), MERGES),
+            args.pack_ctx,
+        ).write.mode("overwrite").parquet(sequences_out)
 
     print(
         json.dumps(
@@ -161,6 +190,7 @@ def main() -> int:
                 "after_mixing": n_after_mix,
                 "out": args.out,
                 "manifest": manifest_out,
+                "sequences": sequences_out,
             }
         )
     )

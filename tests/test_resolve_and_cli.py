@@ -169,6 +169,26 @@ def test_cli_mix_and_pack(spark, tmp_path, monkeypatch):
     got = spark.read.parquet(str(tmp_path / "packed"))
     assert got.count() == 500
 
+    # --bpe-ids: the manifest counts REAL BPE tokens and <out>_sequences
+    # holds the materialized ctx-length id windows; both views agree on
+    # the corpus token total and all-but-last windows are full
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(
+            ["pack", src, "--out", str(tmp_path / "packed_ids"),
+             "--ctx-len", "256", "--bpe-ids"]
+        )
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["sequences"] == str(tmp_path / "packed_ids") + "_sequences"
+    seqs = sorted(
+        spark.read.parquet(rep["sequences"]).collect(), key=lambda r: r.seq_id
+    )
+    assert sum(s.n_tokens for s in seqs) == rep["total_tokens"] > 0
+    assert all(len(s.seq_ids) == s.n_tokens for s in seqs)
+    assert all(s.n_tokens == 256 for s in seqs[:-1])
+    assert rep["n_sequences"] == len(seqs)
+
 
 def test_cli_curate_paragraph_dedup_flag(spark, tmp_path, monkeypatch):
     """--paragraph-dedup rewrites text before the funnel: corpus-wide
