@@ -1042,24 +1042,33 @@ def substring_dup_candidates(
     )
 
 
-def _winnow_kgram_hashes_np(codes, k: int):
+def _winnow_kgram_hashes_np(
+    codes,
+    k: int,
+    b1: int = WINNOW_B1,
+    m1: int = WINNOW_M1,
+    b2: int = WINNOW_B2,
+    m2: int = WINNOW_M2,
+):
     """Vectorized k-gram hash array: for each position i, the combined
     double polynomial hash of codes[i : i+k]. k shifted multiply-adds over
     the whole codepoint array replace a per-position Python hash call —
     the fold (acc·B + c) mod M equals the shifted sum Σ c_j · B^(k−1−j)
     mod M, computed here with a mod per step so every intermediate stays
-    < 2⁵³ regardless of k."""
+    < 2⁵³ regardless of k. The (base, modulus) pairs default to the winnow
+    tier's constants; the exact-substring tier passes its independent
+    second pair (``operators/exactsubstr.py``)."""
     import numpy as np
 
     m = codes.shape[0] - k + 1
     h1 = np.zeros(m, dtype=np.int64)
     h2 = np.zeros(m, dtype=np.int64)
     for j in range(k):
-        pw1 = pow(WINNOW_B1, k - 1 - j, WINNOW_M1)
-        pw2 = pow(WINNOW_B2, k - 1 - j, WINNOW_M2)
+        pw1 = pow(b1, k - 1 - j, m1)
+        pw2 = pow(b2, k - 1 - j, m2)
         win = codes[j : j + m]
-        h1 = (h1 + pw1 * win) % WINNOW_M1
-        h2 = (h2 + pw2 * win) % WINNOW_M2
+        h1 = (h1 + pw1 * win) % m1
+        h2 = (h2 + pw2 * win) % m2
     return h1 * _WINNOW_COMBINE + h2
 
 

@@ -1,0 +1,171 @@
+"""Exact-substring (suffix-array-equivalent) tier: spans + cut."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+def _norm(t: str) -> str:
+    return re.sub(r"[^a-z0-9]+", " ", (t or "").lower()).strip()
+
+
+def _brute_spans(docs: list[tuple[int, str]], L: int) -> list[tuple[int, int, int]]:
+    """Reference formulation over the gram STRINGS (no hashes): mark every
+    (id, p) whose L-gram occurs at >= 2 sites, excluding the global first
+    occurrence per gram; merge marked positions into maximal spans."""
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for id_, t in docs:
+        s = _norm(t)
+        for p in range(1, len(s) - L + 2):
+            occ.setdefault(s[p - 1 : p - 1 + L], []).append((id_, p))
+    marked: dict[int, list[int]] = {}
+    for sites in occ.values():
+        if len(sites) < 2:
+            continue
+        for id_, p in sorted(sites)[1:]:
+            marked.setdefault(id_, []).append(p)
+    out = []
+    for id_, ps in marked.items():
+        ps = sorted(set(ps))
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p - prev > L:
+                out.append((id_, start, prev + L))
+                start = p
+            prev = p
+        out.append((id_, start, prev + L))
+    return sorted(out)
+
+
+def _spans(spark, rows: list[tuple[int, str]], L: int):
+    from biocurator_mapper_spark.operators.exactsubstr import exact_substring_spans
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = exact_substring_spans(df, "doc_id", "text", length=L)
+    return sorted(tuple(r) for r in got.collect())
+
+
+def test_planted_passage_found_maximally(spark):
+    # doc 2 lifts a ~130-char passage from doc 1: the LATER copy is cut,
+    # maximally (one span covering the whole run), the original kept.
+    # NOT periodic — a repeated phrase would plant self-repeats in doc 1.
+    passage = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green bottles stand quietly on the old stone wall near the river"
+    )
+    a = "unique preamble alpha " + passage + " unique tail omega"
+    b = "totally different beginning here " + passage + " and a different end"
+    got = _spans(spark, [(1, a), (2, b)], L=50)
+    assert got == _brute_spans([(1, a), (2, b)], 50)
+    assert {r[0] for r in got} == {2}
+    (only,) = got
+    run = _norm(passage).strip()
+    nb = _norm(b)
+    assert nb[only[1] - 1 : only[2] - 1].strip().startswith(run[:50])
+    # the span covers the full shared run, not just one gram
+    assert only[2] - only[1] >= len(run)
+
+
+def test_brute_force_differential_random(spark):
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    shared = " ".join(rng.choice(words) for _ in range(12))
+    docs = []
+    for i in range(12):
+        body = " ".join(rng.choice(words) for _ in range(rng.randint(5, 40)))
+        if i % 3 == 0:
+            body = body + " " + shared + " " + body[: rng.randint(0, 20)]
+        docs.append((i, body))
+    L = 30
+    assert _spans(spark, docs, L) == _brute_spans(docs, L)
+
+
+def test_self_repeat_within_one_doc(spark):
+    chunk = "zebra yak xylophone walrus vulture unicorn tapir seal " * 2
+    doc = chunk + " middle filler words go here " + chunk
+    got = _spans(spark, [(5, doc)], L=50)
+    assert got == _brute_spans([(5, doc)], 50)
+    assert got and all(r[0] == 5 for r in got)
+
+
+def test_short_docs_and_nulls_yield_nothing(spark):
+    got = _spans(spark, [(1, "tiny"), (2, None), (3, "x" * 49)], L=50)
+    # 49 equal chars < L: no gram exists in doc 3 at all
+    assert got == []
+
+
+def test_cut_round_trip_and_no_span_passthrough(spark):
+    from biocurator_mapper_spark.operators.exactsubstr import (
+        cut_spans_by_range,
+        exact_substring_spans,
+    )
+
+    passage = "shared sentence that is certainly long enough to cross the fifty character line"
+    rows = [(1, "first doc keeps " + passage), (2, passage + " second doc loses it"), (3, "untouched bystander")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = exact_substring_spans(df, "doc_id", "text", length=50)
+    cut = {
+        r["doc_id"]: (r["text_cut"], r["n_cut_chars"])
+        for r in cut_spans_by_range(df, spans, "doc_id", "text").collect()
+    }
+    assert cut[3] == (_norm(rows[2][1]), 0)
+    assert cut[1] == (_norm(rows[0][1]), 0)  # first occurrence kept
+    t2, n2 = cut[2]
+    assert n2 > 0 and _norm(passage)[:50] not in t2
+    assert "second doc loses it" in t2
+    # removed chars accounted: original length = kept + cut (+/- the
+    # collapse of the single joining space)
+    assert abs(len(_norm(rows[1][1])) - (len(t2) + n2)) <= 2
+
+
+def test_cut_non_broadcast_path_identical(spark):
+    from biocurator_mapper_spark.operators.exactsubstr import (
+        cut_spans_by_range,
+        exact_substring_spans,
+    )
+
+    passage = "another very long duplicated passage easily exceeding fifty characters of text"
+    rows = [(i, f"doc {i} prefix " + passage + f" suffix {i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = exact_substring_spans(df, "doc_id", "text", length=50)
+    a = sorted(map(tuple, cut_spans_by_range(df, spans, "doc_id", "text", broadcast_spans=True).collect()))
+    b = sorted(map(tuple, cut_spans_by_range(df, spans, "doc_id", "text", broadcast_spans=False).collect()))
+    assert a == b
+
+
+def test_string_ids_supported(spark):
+    passage = "string keyed documents also share this quite long duplicated run of text"
+    rows = [("u-b", "x " + passage), ("u-a", passage + " y")]
+    from biocurator_mapper_spark.operators.exactsubstr import exact_substring_spans
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(tuple(r) for r in exact_substring_spans(df, "doc_id", "text", length=50).collect())
+    assert got == _brute_spans(rows, 50)  # min (id, p) is 'u-a': 'u-b' is cut
+
+
+def test_position_relation_plan_shape(spark):
+    """One MapInPandas crossing, no row-at-a-time Python; the duplicated-
+    gram agg and the marked join share the position exchange (positions
+    cross the wire once — ReusedExchange or RDD-level stage skip)."""
+    from biocurator_mapper_spark.operators.exactsubstr import exact_substring_spans
+
+    rows = [
+        (i, f"padding {i} " + "shared tail that is long enough to matter here")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = exact_substring_spans(df, "doc_id", "text", length=30)
+    out.collect()
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "ReusedExchange" in plan, "position exchange must be shared"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
