@@ -44,6 +44,36 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read(spark, sf_dir, "documents")
 
 
+# Deterministic crawl-capture synthesis for the URL tier: one messy URL per
+# document row, derived purely from doc_id with SQL that PARSES IDENTICALLY
+# in Spark SQL and DuckDB (CASE/||/CAST only) — ~2 captures share each page
+# identity (doc_id % 250) while case noise, default ports, trailing
+# slashes, tracking params, param order, and fragments vary per capture.
+# The input hint's (url, warc_ts, html, text, lang) table carries exactly
+# this shape; testdata has no url column, so the fixture derives one.
+_URL_HOST_SQL = (
+    "'site' || CAST((doc_id % 250) % 40 AS STRING) || "
+    "CASE (doc_id % 250) % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' "
+    "WHEN 2 THEN '.org' ELSE '.net' END"
+)
+_URL_RAW_EXPR = (
+    "CASE WHEN (doc_id % 250) % 3 = 0 THEN 'https' ELSE 'http' END || '://' "
+    f"|| CASE WHEN doc_id % 2 = 0 THEN upper({_URL_HOST_SQL}) "
+    f"ELSE {_URL_HOST_SQL} END "
+    "|| CASE WHEN doc_id % 3 = 0 THEN "
+    "(CASE WHEN (doc_id % 250) % 3 = 0 THEN ':443' ELSE ':80' END) "
+    "WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END "
+    "|| '/p/' || CAST(doc_id % 250 AS STRING) "
+    "|| CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END || '?' "
+    "|| CASE WHEN doc_id % 2 = 0 THEN "
+    "'utm_source=s' || CAST(doc_id AS STRING) || '&id=' || "
+    "CAST(doc_id % 250 AS STRING) "
+    "ELSE 'id=' || CAST(doc_id % 250 AS STRING) END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN '&REF=x' ELSE '' END "
+    "|| CASE WHEN doc_id % 4 = 1 THEN '#sec' ELSE '' END"
+)
+
+
 # Plan memo for the correctness pass: several contract queries share one
 # expensive LOGICAL PLAN (the kg pipeline's fused scan + rerank aggregate
 # costs seconds of py4j/Catalyst work to CONSTRUCT, before any data moves).
@@ -784,6 +814,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", "span_len"
         )
 
+    def _exsub_spans(spark, sf_dir):
+        # shared by dedup_exactsubstr_spans and dedup_exactsubstr_cut
+        from biocurator_mapper_spark.operators.exactsubstr import (
+            exact_substring_spans,
+        )
+
+        def _build():
+            return exact_substring_spans(
+                _docs(spark, sf_dir), "doc_id", "text", length=50
+            )
+
+        return _memo_df(spark, ("exsub_spans", sf_dir), _build, persist=True)
+
+    def dedup_exactsubstr_spans(spark, sf_dir):
+        # the EXACT tier at threshold L=50 (Lee et al. ExactSubstr,
+        # suffix-array-equivalent): maximal normalized spans covered by
+        # duplicated 50-grams, each gram's globally-first occurrence
+        # kept — no candidate/verify split, exact AT the threshold
+        # (unlike the winnowing tier, complete only for runs >= w+k-1).
+        # Oracle: pure SQL grouping the gram STRINGS — never re-derives
+        # the polynomial hashes
+        return _exsub_spans(spark, sf_dir)
+
+    def dedup_exactsubstr_cut(spark, sf_dir):
+        # the CUT step: spans removed from the normalized text, kept
+        # segments rejoined — the corpus ExactSubstr would actually train on
+        from biocurator_mapper_spark.operators.exactsubstr import (
+            cut_spans_by_range,
+        )
+
+        return cut_spans_by_range(
+            _docs(spark, sf_dir), _exsub_spans(spark, sf_dir), "doc_id", "text"
+        )
+
+    def url_canonical(spark, sf_dir):
+        # crawl-table URL canonicalization: lowercase scheme/host, default
+        # ports + fragments + tracking params stripped, query sorted,
+        # trailing slash trimmed; plus the registrable-domain grouping
+        # key. Pure codegen expressions — free rider on the scan
+        from biocurator_mapper_spark.operators.urls import (
+            registrable_domain,
+            url_normalize,
+            url_parts,
+        )
+
+        cap = _docs(spark, sf_dir).select(
+            "doc_id", F.expr(_URL_RAW_EXPR).alias("url_raw")
+        )
+        return cap.select(
+            "doc_id",
+            "url_raw",
+            url_normalize(F.col("url_raw")).alias("url_norm"),
+            registrable_domain(url_parts(F.col("url_raw"))["host"]).alias(
+                "domain"
+            ),
+        )
+
+    def dedup_url_latest(spark, sf_dir):
+        # latest-capture-per-canonical-url dedup: the crawl table's
+        # snapshot view — one struct-max hash agg, recaptures collapse
+        # map-side (no hot-reducer row_number window)
+        from biocurator_mapper_spark.operators.urls import (
+            dedup_url_latest as _latest,
+        )
+
+        cap = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.expr(_URL_RAW_EXPR).alias("url"),
+            (F.col("doc_id") * 3600).alias("warc_ts"),
+            F.col("doc_id").alias("tb"),
+        )
+        return _latest(cap, "url", "warc_ts", "tb", ["doc_id"])
+
     def dedup_contamination_report(spark, sf_dir):
         # release-audit view of the same relation: per contaminated
         # benchmark doc, how many corpus near-dups and the worst overlap
@@ -1364,6 +1467,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": kg_triples,
         "text_bpe_ids": text_bpe_ids,
         "pack_materialize_ids": pack_materialize_ids,
+        "dedup_exactsubstr_spans": dedup_exactsubstr_spans,
+        "dedup_exactsubstr_cut": dedup_exactsubstr_cut,
+        "url_canonical": url_canonical,
+        "dedup_url_latest": dedup_url_latest,
         # --- no driver row in r5 (driver-green r4) -----------------------
         "j6_mention_detect": j6_mention_detect,
         "j5_topk_similarity": j5_topk_similarity,
@@ -2159,6 +2266,179 @@ LEFT JOIN re ON re.doc_id = dd.doc_id
 """
 
 
+def _url_norm_cte() -> str:
+    """Shared CTE for the URL-tier oracles: the same deterministic capture
+    synthesis (_URL_RAW_EXPR parses identically in both engines), then an
+    independent DuckDB re-implementation of the canonicalization — list
+    lambdas and string functions, sharing only the CONSTANTS (regex,
+    tracking-param and registry-label sets) with operators/urls.py."""
+    from biocurator_mapper_spark.operators.urls import (
+        REGISTRY_2LD,
+        TRACKING_PARAMS,
+        URL_RE,
+    )
+
+    track = "[" + ", ".join(f"'{p}'" for p in TRACKING_PARAMS) + "]"
+    reg2 = "[" + ", ".join(f"'{p}'" for p in REGISTRY_2LD) + "]"
+    return f"""
+WITH cap AS (
+  SELECT doc_id, {_URL_RAW_EXPR} AS url_raw FROM documents
+), parts AS (
+  SELECT doc_id, url_raw,
+         lower(regexp_extract(url_raw, '{URL_RE}', 1)) AS scheme,
+         regexp_extract(url_raw, '{URL_RE}', 2) AS auth,
+         regexp_extract(url_raw, '{URL_RE}', 3) AS rawpath,
+         regexp_extract(url_raw, '{URL_RE}', 4) AS q
+  FROM cap
+), hostport AS (
+  SELECT *,
+         lower(split_part(auth, ':', 1)) AS host,
+         CASE WHEN contains(auth, ':') THEN split_part(auth, ':', 2)
+              ELSE '' END AS port
+  FROM parts
+), pieces AS (
+  SELECT *,
+         CASE WHEN rawpath = '' THEN '/'
+              WHEN rawpath <> '/' AND rawpath LIKE '%/'
+                THEN substr(rawpath, 1, length(rawpath) - 1)
+              ELSE rawpath END AS path,
+         array_to_string(list_sort(list_filter(string_split(q, '&'),
+           p -> p <> '' AND NOT list_contains({track},
+                  lower(split_part(p, '=', 1))))), '&') AS qs,
+         string_split(host, '.') AS labels
+  FROM hostport
+), normed AS (
+  SELECT doc_id, url_raw,
+         CASE WHEN scheme = '' THEN trim(url_raw) ELSE
+           scheme || '://' || host ||
+           CASE WHEN (scheme = 'http' AND port = '80')
+                     OR (scheme = 'https' AND port = '443')
+                     OR port = '' THEN '' ELSE ':' || port END ||
+           path ||
+           CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+         END AS url_norm,
+         CASE WHEN len(labels) <= 2 THEN host
+              WHEN length(labels[len(labels)]) = 2
+                   AND list_contains({reg2}, labels[len(labels) - 1])
+                THEN array_to_string(list_slice(labels, len(labels) - 2, len(labels)), '.')
+              ELSE array_to_string(list_slice(labels, len(labels) - 1, len(labels)), '.')
+         END AS domain
+  FROM pieces
+)"""
+
+
+def _url_canonical_sql() -> str:
+    return (
+        _url_norm_cte()
+        + """
+SELECT doc_id::BIGINT AS doc_id, url_raw, url_norm, domain FROM normed"""
+    )
+
+
+def _url_latest_sql() -> str:
+    # struct-max over unique (ts, tb) == the row_number formulation
+    return (
+        _url_norm_cte()
+        + """
+SELECT url_norm, warc_ts, tb, doc_id FROM (
+  SELECT n.url_norm,
+         (n.doc_id * 3600)::BIGINT AS warc_ts,
+         n.doc_id::BIGINT AS tb,
+         n.doc_id::BIGINT AS doc_id,
+         row_number() OVER (PARTITION BY n.url_norm
+                            ORDER BY n.doc_id * 3600 DESC, n.doc_id DESC) AS rn
+  FROM normed n
+) WHERE rn = 1"""
+    )
+
+
+def _exactsubstr_cte(length: int = 50) -> str:
+    """Shared CTE prefix for the exact-substring tier oracles: one row per
+    character position of the normalized text, duplicated L-grams found by
+    grouping the gram STRINGS (the Spark path keys by two independent
+    62-bit polynomial hashes — the oracle never re-derives them), first
+    occurrence per gram = min (doc_id, p), islands merged with the same
+    gaps-and-islands window."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')) AS s
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(generate_series(1, length(s) - {length} + 1)) AS p, s
+  FROM norm
+  WHERE length(s) >= {length}
+), grams AS (
+  SELECT doc_id, p, substr(s, p::INT, {length}) AS g FROM pos
+), marked AS (
+  SELECT doc_id, p,
+         count(*) OVER (PARTITION BY g) AS c,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+  FROM grams
+), cov AS (
+  SELECT doc_id, p FROM marked WHERE c >= 2 AND rn > 1
+), brk AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                   OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > {length}
+              THEN 1 ELSE 0 END AS b
+  FROM cov
+), isl AS (
+  SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM brk
+), spans AS (
+  SELECT doc_id, min(p) AS span_start, max(p) + {length} AS span_end
+  FROM isl GROUP BY doc_id, grp
+)"""
+
+
+def _exactsubstr_spans_sql(length: int = 50) -> str:
+    return (
+        _exactsubstr_cte(length)
+        + """
+SELECT doc_id::BIGINT AS doc_id,
+       span_start::BIGINT AS span_start,
+       span_end::BIGINT AS span_end
+FROM spans"""
+    )
+
+
+def _exactsubstr_cut_sql(length: int = 50) -> str:
+    # kept segments between spans (plus the tail after the last span),
+    # joined on ' ' then whitespace-collapsed and trimmed — exactly the
+    # pandas kernel's " ".join(pieces) + collapse + strip
+    return (
+        _exactsubstr_cte(length)
+        + """
+, segs AS (
+  SELECT doc_id,
+         coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 1) AS seg_start,
+         span_start AS seg_end
+  FROM spans
+  UNION ALL
+  SELECT doc_id, max(span_end) AS seg_start, NULL AS seg_end
+  FROM spans GROUP BY doc_id
+), joined AS (
+  SELECT sg.doc_id,
+         string_agg(
+           substr(n.s, sg.seg_start::INT,
+                  (coalesce(sg.seg_end, length(n.s) + 1) - sg.seg_start)::INT),
+           ' ' ORDER BY sg.seg_start) AS j
+  FROM segs sg JOIN norm n USING (doc_id)
+  GROUP BY sg.doc_id
+), ncut AS (
+  SELECT doc_id, sum(span_end - span_start) AS n FROM spans GROUP BY doc_id
+)
+SELECT n.doc_id::BIGINT AS doc_id,
+       CASE WHEN j.j IS NULL THEN n.s
+            ELSE trim(regexp_replace(j.j, ' +', ' ', 'g')) END AS text_cut,
+       coalesce(nc.n, 0)::BIGINT AS n_cut_chars
+FROM norm n
+LEFT JOIN joined j ON j.doc_id = n.doc_id
+LEFT JOIN ncut nc ON nc.doc_id = n.doc_id"""
+    )
+
+
 def _substring_spans_sql(
     k: int = 20, w: int = 30, min_len: int = 49, max_df: int = 256
 ) -> str:
@@ -2591,6 +2871,10 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id NOT IN (SELECT corpus_id FROM cross_pairs)
         """,
         "dedup_substring_spans": _substring_spans_sql(),
+        "dedup_exactsubstr_spans": _exactsubstr_spans_sql(),
+        "dedup_exactsubstr_cut": _exactsubstr_cut_sql(),
+        "url_canonical": _url_canonical_sql(),
+        "dedup_url_latest": _url_latest_sql(),
         "dedup_substring_candidates": """
             WITH s AS (SELECT doc_id,
                               trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')) AS s

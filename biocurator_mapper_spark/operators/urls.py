@@ -1,0 +1,178 @@
+"""URL canonicalization and capture-level dedup for web-crawl tables.
+
+A Common-Crawl-shaped corpus keys rows by ``(url, warc_ts)`` — the same
+page is captured many times under trivially different URLs (host case,
+default ports, tracking params, fragments, trailing slashes). Before any
+content-level dedup runs, a crawl pipeline canonicalizes the URL and keeps
+one capture per canonical page; skipping this step multiplies every
+downstream tier's input by the recapture factor.
+
+Everything here is built-in Catalyst expressions (regexp + array HOFs) —
+zero Python, whole-stage-codegen throughout, and each transform has an
+exact SQL twin so the DuckDB oracle replicates it verbatim:
+
+- ``url_parts`` / ``url_normalize``: RFC-3986-style split, then the
+  canonical form — lowercase scheme+host, default port stripped,
+  fragment dropped, tracking params removed and the remaining query
+  sorted, trailing slash trimmed (non-root paths). Narrow per-row
+  expressions: at 100 TB this is a free rider on whatever scan feeds it.
+- ``registrable_domain``: the per-site grouping key (Zipfian head-domain
+  caps, per-domain mixing) via a public-suffix HEURISTIC — last two
+  labels, or three when the second-level label is a known registry prefix
+  (co/com/ac/gov/... under a ccTLD). The full PSL is a data file, not an
+  algorithm; swap it in as a broadcast map-join when available.
+- ``dedup_url_latest``: one row per canonical URL — the max-(ts, tiebreak)
+  capture via one hash aggregation (map-side combine collapses recaptures
+  before the exchange; no row_number window, whose hot-key partitions AQE
+  cannot split).
+
+Reference parity note: the reference maps one passage at a time and has no
+crawl-table surface (/root/reference/app/models.py:7); this family is part
+of the web-scale extension surface the input hint calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# params that never change page identity — the usual tracker/campaign set
+TRACKING_PARAMS = (
+    "utm_source",
+    "utm_medium",
+    "utm_campaign",
+    "utm_term",
+    "utm_content",
+    "gclid",
+    "fbclid",
+    "msclkid",
+    "ref",
+    "referrer",
+)
+
+# one regex, four groups: scheme, authority, path, query (fragment dropped)
+URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+# second-level labels that act as registry prefixes under a 2-letter ccTLD
+REGISTRY_2LD = ("co", "com", "net", "org", "ac", "gov", "edu", "or", "ne")
+
+
+def url_parts(url: Column) -> Column:
+    """struct(scheme, host, port, path, query) — RFC-3986-ish split with
+    one regexp evaluated once (fan the fields out in a SEPARATE projection
+    per the CollapseProject rule if you need several). Non-URL strings
+    yield empty-string fields, never NULL surprises."""
+    scheme = F.lower(F.regexp_extract(url, URL_RE, 1))
+    auth = F.regexp_extract(url, URL_RE, 2)
+    host = F.lower(F.split_part(auth, F.lit(":"), F.lit(1)))
+    port = F.when(auth.contains(":"), F.split_part(auth, F.lit(":"), F.lit(2))).otherwise(
+        F.lit("")
+    )
+    path = F.regexp_extract(url, URL_RE, 3)
+    query = F.regexp_extract(url, URL_RE, 4)
+    return F.struct(
+        scheme.alias("scheme"),
+        host.alias("host"),
+        port.alias("port"),
+        path.alias("path"),
+        query.alias("query"),
+    )
+
+
+def _canon_query(query: Column, drop_params: tuple[str, ...]) -> Column:
+    dropset = F.array(*[F.lit(p) for p in drop_params])
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.array_contains(dropset, F.lower(F.split_part(p, F.lit("="), F.lit(1)))),
+    )
+    return F.array_join(F.array_sort(kept), "&")
+
+
+def url_normalize(
+    url: Column, drop_params: tuple[str, ...] = TRACKING_PARAMS
+) -> Column:
+    """The canonical URL string: lowercase scheme + host, default port
+    stripped (80/http, 443/https), empty path -> '/', trailing slash
+    trimmed on non-root paths, fragment dropped, ``drop_params`` removed
+    (case-insensitive name match) and surviving query params sorted
+    bytewise. Unparseable urls (no scheme://) pass through trimmed —
+    garbage in, stable garbage out."""
+    p = url_parts(url)
+    scheme, host, port = p["scheme"], p["host"], p["port"]
+    is_default = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == "")
+    )
+    portpart = F.when(is_default, F.lit("")).otherwise(F.concat(F.lit(":"), port))
+    rawpath = p["path"]
+    path = F.when(rawpath == "", F.lit("/")).otherwise(
+        F.when(
+            (rawpath != "/") & rawpath.endswith("/"),
+            F.substring(rawpath, 1, F.length(rawpath) - 1),
+        ).otherwise(rawpath)
+    )
+    qs = _canon_query(p["query"], drop_params)
+    qpart = F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs))
+    canon = F.concat(scheme, F.lit("://"), host, portpart, path, qpart)
+    return F.when(scheme == "", F.trim(url)).otherwise(canon)
+
+
+def registrable_domain(host: Column) -> Column:
+    """The per-site grouping key: last two host labels, or last THREE when
+    the second-to-last is a registry prefix (co/ac/gov/...) under a
+    2-letter ccTLD — 'a.b.example.co.uk' -> 'example.co.uk',
+    'www.example.com' -> 'example.com'. Hosts with <2 labels (localhost,
+    IPs stay as-is semantically wrong but stable) pass through."""
+    labels = F.split(F.lower(host), r"\.")
+    n = F.size(labels)
+    tld = F.try_element_at(labels, n)
+    sld = F.try_element_at(labels, n - 1)
+    take3 = (
+        (n >= F.lit(3))
+        & (F.length(tld) == 2)
+        & F.array_contains(F.array(*[F.lit(x) for x in REGISTRY_2LD]), sld)
+    )
+    k = F.when(take3, F.lit(3)).otherwise(F.lit(2))
+    return F.when(
+        n <= 2, F.lower(host)
+    ).otherwise(F.array_join(F.slice(labels, n - k + 1, k), "."))
+
+
+def dedup_url_latest(
+    df: DataFrame,
+    url_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per CANONICAL url: normalize ``url_col``, keep the capture
+    with the greatest (ts, tiebreak) — the crawl table's latest-snapshot
+    view. Output: (url_norm, <ts_col>, <tiebreak_col>, *payload_cols).
+
+    One hash aggregation on the canonical url (struct-max, map-side
+    partials — recaptures of a hot page collapse BEFORE the exchange, so
+    head-domain skew never concentrates on one reducer the way a
+    row_number window would)."""
+    payload = payload_cols or []
+    best = F.max(
+        F.struct(
+            F.col(ts_col).alias("_ts"),
+            F.col(tiebreak_col).alias("_tb"),
+            *[F.col(c).alias(c) for c in payload],
+        )
+    ).alias("_best")
+    g = (
+        df.withColumn("url_norm", url_normalize(F.col(url_col)))
+        .groupBy("url_norm")
+        .agg(best)
+    )
+    return g.select(
+        "url_norm",
+        F.col("_best._ts").alias(ts_col),
+        F.col("_best._tb").alias(tiebreak_col),
+        *[F.col(f"_best.{c}").alias(c) for c in payload],
+    )

@@ -1,0 +1,106 @@
+"""URL canonicalization tier (operators/urls.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biocurator_mapper_spark.operators.urls import (
+    dedup_url_latest,
+    registrable_domain,
+    url_normalize,
+    url_parts,
+)
+
+
+def _norm_one(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(url_normalize(F.col("url")).alias("u")).collect()[0].u
+
+
+def test_normalize_case_port_params_fragment(spark):
+    # every noise axis at once: host case, default port, tracking params
+    # (case-insensitive name match), param order, fragment
+    u = _norm_one(
+        spark, "HTTP://WWW.Example.COM:80/a/b?utm_source=x&b=2&UTM_TERM=y&a=1#f"
+    )
+    assert u == "http://www.example.com/a/b?a=1&b=2"
+
+
+def test_normalize_trailing_slash_and_empty_path(spark):
+    assert _norm_one(spark, "https://a.com") == "https://a.com/"
+    assert _norm_one(spark, "https://a.com/") == "https://a.com/"
+    assert _norm_one(spark, "https://a.com/x/") == "https://a.com/x"
+    # root slash never trimmed, non-default port kept
+    assert _norm_one(spark, "http://a.com:8080/") == "http://a.com:8080/"
+
+
+def test_normalize_drops_all_params_to_no_query(spark):
+    assert _norm_one(spark, "http://a.com/x?fbclid=1&gclid=2") == "http://a.com/x"
+
+
+def test_non_url_passes_through_trimmed(spark):
+    assert _norm_one(spark, "  not a url  ") == "not a url"
+
+
+def test_registrable_domain_cases(spark):
+    rows = [
+        ("www.example.com", "example.com"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("EXAMPLE.ORG", "example.org"),
+        ("localhost", "localhost"),
+        ("en.m.wikipedia.org", "wikipedia.org"),
+        ("site.gov.uk", "site.gov.uk"),  # 2 labels -> as-is
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "host string")
+    got = [
+        r.d
+        for r in df.select(registrable_domain(F.col("host")).alias("d")).collect()
+    ]
+    assert got == [want for _, want in rows]
+
+
+def test_url_parts_fields(spark):
+    df = spark.createDataFrame(
+        [("https://Host.com:444/p/q?x=1#frag",)], "url string"
+    )
+    p = df.select(url_parts(F.col("url")).alias("p")).collect()[0].p
+    assert (p.scheme, p.host, p.port, p.path, p.query) == (
+        "https",
+        "host.com",
+        "444",
+        "/p/q",
+        "x=1",
+    )
+
+
+def test_dedup_url_latest_keeps_max_ts_then_tiebreak(spark):
+    cap = spark.createDataFrame(
+        [
+            (1, "http://A.com/?utm_source=1", 10, 1, "old"),
+            (2, "http://a.com/", 20, 2, "new"),
+            (3, "http://a.com", 20, 1, "tie-lo"),
+            (4, "http://b.com/q?a=1", 5, 4, "only"),
+        ],
+        "cid long, url string, ts long, tb long, text string",
+    )
+    out = {
+        r.url_norm: (r.ts, r.tb, r.text)
+        for r in dedup_url_latest(cap, "url", "ts", "tb", ["text"]).collect()
+    }
+    assert out == {
+        "http://a.com/": (20, 2, "new"),
+        "http://b.com/q?a=1": (5, 4, "only"),
+    }
+
+
+def test_no_python_in_plan_and_mapside_partial_agg(spark):
+    # the whole tier must stay codegen-side: no Python UDF nodes, and the
+    # latest-capture dedup must show a partial aggregation before the
+    # exchange (recaptures collapse map-side)
+    cap = spark.createDataFrame(
+        [(1, "http://a.com/", 1, 1)], "cid long, url string, ts long, tb long"
+    )
+    out = dedup_url_latest(cap, "url", "ts", "tb", ["cid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
