@@ -11,18 +11,28 @@ window (``ORDER BY id`` with no PARTITION BY) collapses the whole corpus
 into ONE task. ``ordered_prefix_sum`` is the classic two-level distributed
 scan instead:
 
-1. ``repartitionByRange(order_cols)`` puts disjoint, ordered key ranges in
-   each partition (range boundaries come from Spark's sampler; they affect
-   only placement, never the result);
-2. a window partitioned by ``spark_partition_id()`` computes LOCAL prefix
-   sums in parallel (one balanced hash exchange of narrow rows);
-3. per-range totals — one tiny row per partition — get their own exclusive
+1. range-bucket ids come from DETERMINISTIC quantile boundaries sampled
+   off a NARROW key-only projection (see ``_range_bounds``), assigned with
+   an O(log p) binary when-tree — boundaries affect only placement, never
+   the result;
+2. a window partitioned by the bucket id computes LOCAL prefix sums in
+   parallel above ONE hash exchange of the payload;
+3. per-bucket totals — one tiny row per bucket — get their own exclusive
    prefix sum (hundreds of rows, driver-scale window) and broadcast-join
-   back as range offsets.
+   back as bucket offsets.
 
-Two narrow-row corpus shuffles total, both balanced; nothing driver-side
-except the per-range totals. AQE partition coalescing merges only ADJACENT
-ranges, so range-contiguity (what step 2's ordering relies on) survives.
+One payload shuffle total; nothing driver-side except the boundary sample
+and per-bucket totals. The deliberate difference from the obvious
+``repartitionByRange`` + ``spark_partition_id()`` formulation: partition
+id is NONDETERMINISTIC to Catalyst, which disqualifies the exchange from
+ReusedExchange, so the two consumers (local window + bucket totals) would
+re-execute the whole child — including its range-boundary sampling pass —
+doubling (with the sampler, tripling) every expensive upstream stage
+(measured 4 ArrowEvalPython evaluations of the BPE encoder per
+materialize run). With deterministic bucket ids the child executes ONCE:
+both consumers read the same exchange, and the boundary sample never
+touches the payload expressions (``key_source`` lets callers point it at
+the raw column-pruned scan).
 
 Reference parity: no analog in the reference (row-at-a-time FastAPI app);
 part of the training-data-pipeline extension surface (SURVEY.md §2).
@@ -34,40 +44,112 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_BOUNDS_TARGET = 100_000  # driver-side sample cap for boundary estimation
+
+
+def _range_bounds(
+    key_source: DataFrame, key_col: str, p: int
+) -> list:
+    """p-1 (or fewer) sorted, distinct range boundaries for ``key_col``,
+    from a DETERMINISTIC hash-thresholded sample collected driver-side.
+    Boundaries affect only bucket balance, never any result — any sorted
+    list is correct — so the sample is advisory: capped at ~100k keys,
+    xxhash64-selected (stable across runs and engines), column-pruned."""
+    narrow = key_source.select(key_col).where(F.col(key_col).isNotNull())
+    n = narrow.count()
+    if n == 0 or p <= 1:
+        return []
+    target = max(p * 64, 1024)
+    if n > target:
+        # oversample 2x for selection variance; threshold on a stable hash
+        thresh = min(int(2_000_000 * target / n) + 1, 1_000_000)
+        narrow = narrow.where(
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(1_000_000)) < thresh
+        )
+    keys = sorted(r[0] for r in narrow.limit(4 * target).collect())
+    if not keys:
+        return []
+    bounds = sorted(
+        {keys[min(round(i * len(keys) / p), len(keys) - 1)] for i in range(1, p)}
+        - {keys[0]}  # a bound at the minimum only creates an empty bucket
+    )
+    return bounds
+
+
+def _bucket_expr(key: Column, bounds: list) -> Column:
+    """Number of boundaries <= key, as an O(log p) binary when-tree —
+    monotone in the key ordering, so bucket ids are range-contiguous.
+    NULL keys fall through every comparison into bucket 0 (consistent
+    with NULLS FIRST ordering)."""
+
+    def build(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        return F.when(key >= F.lit(bounds[mid - 1]), build(mid, hi)).otherwise(
+            build(lo, mid - 1)
+        )
+
+    return build(0, len(bounds)).cast("int")
+
+
 def ordered_prefix_sum(
     df: DataFrame,
     order_cols: list[str],
-    value_col: str,
+    value_col: str | Column,
     num_ranges: int | None = None,
+    key_source: DataFrame | None = None,
 ) -> DataFrame:
     """``df`` + ``cum_before`` — the EXCLUSIVE prefix sum of ``value_col``
-    over the global ``order_cols`` ordering, computed with the two-level
-    distributed scan above (no single-partition corpus window). Input
-    columns pass through unchanged."""
+    (a column name or an expression over ``df``'s columns) over the global
+    ``order_cols`` ordering, computed with the two-level distributed scan
+    above (no single-partition corpus window). Input columns pass through
+    unchanged; ``order_cols`` must be a unique key (the contract every
+    caller already needs for a well-defined global order).
+
+    ``key_source``: optional cheap relation to sample range boundaries
+    from — pass the raw column-pruned scan when ``df`` carries expensive
+    computed columns (e.g. a tokenizer UDF) so the boundary sample never
+    evaluates them. Must have the same distribution of
+    ``order_cols[0]`` as ``df`` for good balance (correctness never
+    depends on it). Buckets split on the FIRST order column only: ties on
+    it stay in one bucket (fine for unique ids; a low-cardinality leading
+    key degrades balance, not results).
+
+    Sharing contract: BOTH consumers (the local window and the per-bucket
+    totals) read the window stage, whose sort demands every order column —
+    so when ``df`` carries only order + value columns, the two branch
+    subtrees are column-identical down to the exchange and AQE reuses the
+    materialized stage (the child, UDFs included, executes ONCE). Extra
+    payload columns stay correct but can split the exchange via divergent
+    column pruning — keep ``df`` minimal and join wide payloads back
+    outside."""
     spark = df.sparkSession
     p = num_ranges or spark.sparkContext.defaultParallelism
-    cols = [F.col(c) for c in order_cols]
+    key0 = order_cols[0]
+    bounds = _range_bounds(key_source or df, key0, p)
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
 
-    tagged = df.repartitionByRange(p, *cols).withColumn(
-        "_rg", F.spark_partition_id()
+    tagged = df.withColumn("_rg", _bucket_expr(F.col(key0), bounds)).repartition(
+        max(len(bounds) + 1, 1), F.col("_rg")
     )
     w_local = (
         Window.partitionBy("_rg")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = tagged.withColumn(
-        "_cum_local", F.sum(value_col).over(w_local) - F.col(value_col)
-    )
-    # per-range totals aggregate the PRE-window relation (the window's sort
-    # must not ride along into this tiny job); its own exclusive prefix sum
-    # runs on one task over `p` rows — driver-scale by construction
+    # INCLUSIVE local cumsum: the bucket total is its value at the last
+    # order position, so the totals branch can read the SAME window stage
+    # instead of re-aggregating the exchange input (which column pruning
+    # would specialize into a second, non-reusable exchange)
+    local = tagged.withColumn("_cum_incl", F.sum(val).over(w_local))
+    okey = F.struct(*[F.col(c) for c in order_cols])
     w_rg = Window.orderBy("_rg").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     offsets = (
-        tagged.groupBy("_rg")
-        .agg(F.sum(value_col).alias("_rg_total"))
+        local.groupBy("_rg")
+        .agg(F.max_by(F.col("_cum_incl"), okey).alias("_rg_total"))
         .withColumn(
             "_rg_offset", F.sum("_rg_total").over(w_rg) - F.col("_rg_total")
         )
@@ -75,8 +157,10 @@ def ordered_prefix_sum(
     )
     return (
         local.join(F.broadcast(offsets), "_rg")
-        .withColumn("cum_before", F.col("_rg_offset") + F.col("_cum_local"))
-        .drop("_rg", "_cum_local", "_rg_offset")
+        .withColumn(
+            "cum_before", F.col("_rg_offset") + F.col("_cum_incl") - val
+        )
+        .drop("_rg", "_cum_incl", "_rg_offset")
     )
 
 
@@ -102,7 +186,9 @@ def pack_sequences(
     tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     base = docs.select(F.col(id_col), tok.cast("bigint").alias("n_tokens"))
     cum = F.col("cum_before")
-    return ordered_prefix_sum(base, [id_col], "n_tokens", num_ranges).select(
+    return ordered_prefix_sum(
+        base, [id_col], "n_tokens", num_ranges, key_source=docs.select(id_col)
+    ).select(
         F.col(id_col),
         F.col("n_tokens"),
         cum.alias("cum_before"),
@@ -226,11 +312,24 @@ def _sequence_fragments(
     falls inside one ctx-window (element type passes through untouched)."""
     if ctx_len <= 0:
         raise ValueError("ctx_len must be positive")
-    base = docs.select(
-        F.col(id_col), tokens_arr.alias("_toks")
-    ).withColumn("_nt", F.size("_toks").cast("bigint"))
-    pre = ordered_prefix_sum(
-        base.where(F.col("_nt") > 0), [id_col], "_nt", num_ranges
+    # tokenizer evaluated ONCE: the prefix-sum df carries ONLY (id, _toks)
+    # with the count as an EXPRESSION (see ordered_prefix_sum's sharing
+    # contract — extra materialized columns would split the exchange), and
+    # the empties filter stays ABOVE the scan (a filter below it would be
+    # alias-substituted under the exchange and re-evaluate the tokenizer;
+    # empty docs contribute 0 to every cum sum, so filtering after is
+    # result-identical)
+    base = docs.select(F.col(id_col), tokens_arr.alias("_toks"))
+    pre = (
+        ordered_prefix_sum(
+            base,
+            [id_col],
+            F.size("_toks").cast("bigint"),
+            num_ranges,
+            key_source=docs.select(id_col),
+        )
+        .withColumn("_nt", F.size("_toks").cast("bigint"))
+        .where(F.col("_nt") > 0)
     )
     cum = F.col("cum_before")
     start_seq = F.floor(cum / ctx_len).cast("bigint")

@@ -182,11 +182,23 @@ def test_pack_sequences_no_global_single_partition_window(spark):
         "n_tokens",
         ctx_len=512,
     )
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    # the corpus window carries the partitionBy spec in its sort order
-    assert "partitionBy" not in plan or True  # plan text varies; key check below
-    # rangepartitioning present (the distributed scan's level 1)
-    assert "rangepartitioning" in plan.lower()
+    df.collect()
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    low = plan.lower()
+    # level 1 is ONE deterministic hash exchange on the bucket id — the
+    # corpus window rides it partitioned (parallel), and the per-bucket
+    # totals branch REUSES it instead of re-executing the child (the
+    # spark_partition_id formulation was nondeterministic and forced a
+    # full second evaluation)
+    assert "hashpartitioning(_rg" in low
+    assert "rangepartitioning" not in low
+    assert "spark_partition_id" not in low
+    assert "ReusedExchange" in plan, "payload exchange must be shared"
 
     with pytest.raises(ValueError):
         pack_sequences(docs, "doc_id", "n_chars", ctx_len=0)
