@@ -887,6 +887,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _latest(cap, "url", "warc_ts", "tb", ["doc_id"])
 
+    def sample_domain_cap(spark, sf_dir):
+        # the Zipfian head-domain valve end-to-end: registrable domain off
+        # the raw capture URL, then the deterministic per-domain cap
+        # (id-hash order, resume-stable) — URL tier composed with the
+        # sampling tier
+        from biocurator_mapper_spark.operators.sampling import cap_per_stratum
+        from biocurator_mapper_spark.operators.urls import (
+            registrable_domain,
+            url_parts,
+        )
+
+        cap = _docs(spark, sf_dir).select(
+            "doc_id", F.expr(_URL_RAW_EXPR).alias("url_raw")
+        )
+        d = cap.select(
+            "doc_id",
+            registrable_domain(url_parts(F.col("url_raw"))["host"]).alias(
+                "domain"
+            ),
+        )
+        return cap_per_stratum(d, "domain", 3, "doc_id")
+
     def dedup_contamination_report(spark, sf_dir):
         # release-audit view of the same relation: per contaminated
         # benchmark doc, how many corpus near-dups and the worst overlap
@@ -1471,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exactsubstr_cut": dedup_exactsubstr_cut,
         "url_canonical": url_canonical,
         "dedup_url_latest": dedup_url_latest,
+        "sample_domain_cap": sample_domain_cap,
         # --- no driver row in r5 (driver-green r4) -----------------------
         "j6_mention_detect": j6_mention_detect,
         "j5_topk_similarity": j5_topk_similarity,
@@ -2352,6 +2375,24 @@ SELECT url_norm, warc_ts, tb, doc_id FROM (
     )
 
 
+def _domain_cap_sql(cap: int = 3) -> str:
+    # the sampling tier's md5-prefix hash order over the URL tier's domain
+    return (
+        _url_norm_cte()
+        + f"""
+SELECT doc_id, domain FROM (
+  SELECT doc_id::BIGINT AS doc_id, domain,
+         row_number() OVER (
+           PARTITION BY domain
+           ORDER BY ('0x' || substring(md5(coalesce(doc_id::VARCHAR,
+                       chr(0) || 'null')), 1, 4))::BIGINT ASC,
+                    doc_id ASC
+         ) AS rn
+  FROM normed
+) WHERE rn <= {cap}"""
+    )
+
+
 def _exactsubstr_cte(length: int = 50) -> str:
     """Shared CTE prefix for the exact-substring tier oracles: one row per
     character position of the normalized text, duplicated L-grams found by
@@ -2875,6 +2916,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exactsubstr_cut": _exactsubstr_cut_sql(),
         "url_canonical": _url_canonical_sql(),
         "dedup_url_latest": _url_latest_sql(),
+        "sample_domain_cap": _domain_cap_sql(),
         "dedup_substring_candidates": """
             WITH s AS (SELECT doc_id,
                               trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')) AS s
