@@ -109,8 +109,9 @@ def cmd_triples(args) -> int:
 
 def cmd_curate(args) -> int:
     """Training-corpus funnel: optional corpus-wide paragraph dedup →
-    gates (+ optional char-LM) → exact dedup → optional near-dup cluster
-    removal → curated parquet + funnel JSON."""
+    optional ExactSubstr cut (duplicated >=L-char normalized runs removed,
+    first occurrence kept) → gates (+ optional char-LM) → exact dedup →
+    optional near-dup cluster removal → curated parquet + funnel JSON."""
     from pyspark.sql import functions as F
 
     from .operators.dedup import dedup_clusters
@@ -124,6 +125,26 @@ def cmd_curate(args) -> int:
         from .operators.dedup import paragraph_dedup_text
 
         docs = paragraph_dedup_text(docs, args.id_col, args.text_col)
+    if args.exactsubstr_cut:
+        # Lee et al. ExactSubstr on the corpus: every duplicated run of
+        # >= L NORMALIZED chars is cut, first occurrence kept; text becomes
+        # the normalized cut text (the tier operates on normalized text —
+        # run it before the gates so the quality signals see the cut docs)
+        from .operators.exactsubstr import (
+            cut_spans_by_range,
+            exact_substring_spans,
+        )
+
+        spans = exact_substring_spans(
+            docs, args.id_col, args.text_col, length=args.exactsubstr_len
+        )
+        cut = cut_spans_by_range(docs, spans, args.id_col, args.text_col)
+        docs = docs.drop(args.text_col).join(
+            cut.select(
+                args.id_col, F.col("text_cut").alias(args.text_col)
+            ),
+            args.id_col,
+        )
     staged = curate(
         docs,
         id_col=args.id_col,
@@ -300,6 +321,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument(
         "--paragraph-dedup", action=argparse.BooleanOptionalAction, default=False
     )
+    c.add_argument(
+        "--exactsubstr-cut", action=argparse.BooleanOptionalAction, default=False
+    )
+    c.add_argument("--exactsubstr-len", type=int, default=50)
     c.set_defaults(fn=cmd_curate)
 
     m = sub.add_parser("mix", help="temperature-mixture sample → parquet")

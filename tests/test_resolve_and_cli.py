@@ -218,6 +218,41 @@ def test_cli_curate_paragraph_dedup_flag(spark, tmp_path, monkeypatch):
     assert got.count() >= 1
 
 
+def test_cli_curate_exactsubstr_cut_flag(spark, tmp_path, monkeypatch):
+    """--exactsubstr-cut rewrites text before the gates: a >=50-char
+    passage lifted verbatim into a later doc is cut from it (first
+    occurrence kept); text becomes the normalized cut text."""
+    import biocurator_mapper_spark.cli as cli
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(cli, "_spark", lambda: spark)
+    passage = (
+        "every byte of this exact passage repeats across both documents "
+        "verbatim and is long enough for the tier"
+    )
+    uniq = [
+        "completely different opening material with plenty of original "
+        "words keeps this document past every quality gate easily",
+        "another unrelated introduction of generous length so the second "
+        "document also clears the curation quality gates after cutting",
+    ]
+    rows = [(i, f"{uniq[i]} {passage}", "en", "s", 200) for i in range(2)]
+    src = str(tmp_path / "docs_es")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    out_dir = str(tmp_path / "curated_es")
+    rc = cli.main(
+        ["curate", src, "--out", out_dir, "--exactsubstr-cut",
+         "--id-col", "doc_id"]
+    )
+    assert rc == 0
+    got = {r.doc_id: r.text for r in spark.read.parquet(out_dir).collect()}
+    assert "exact passage repeats" in got[0]  # first occurrence kept
+    assert 1 in got and "exact passage repeats" not in got[1]
+    assert got[1].startswith("another unrelated introduction")
+
+
 def test_cli_ingest_resolve_status(spark, tmp_path, monkeypatch):
     # run CLI mains in-process against a temp warehouse (reusing the session)
     import biocurator_mapper_spark.cli as cli
