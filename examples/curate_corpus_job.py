@@ -10,8 +10,15 @@
 
 The full pre-training data funnel, composed from the engine's operators:
 
+0. optional capture-level dedup (``--url-col``): canonicalize the crawl
+   URL and keep the latest capture per canonical page — the crawl table's
+   snapshot view, BEFORE any content-level work multiplies by the
+   recapture factor (`operators.urls.dedup_url_latest`);
 1. optional corpus-wide paragraph dedup (CCNet ordering — boilerplate out
-   BEFORE quality signals; `operators.dedup.paragraph_dedup`);
+   BEFORE quality signals; `operators.dedup.paragraph_dedup`), then an
+   optional ExactSubstr cut (``--exactsubstr-cut``): duplicated >=L-char
+   normalized runs removed, first occurrence kept
+   (`operators.exactsubstr`);
 2. quality/repetition/language gates + exact dedup (`pipeline.curation`);
 3. near-duplicate CLUSTER removal — MinHash-LSH candidates, exact-Jaccard
    verify, connected components, keep the representative
@@ -52,6 +59,14 @@ def main() -> int:
     ap.add_argument("--n-buckets", type=int, default=256)
     ap.add_argument("--paragraph-dedup", action="store_true",
                     help="corpus-wide paragraph dedup before the gates")
+    ap.add_argument("--url-col", default=None,
+                    help="canonical-URL latest-capture dedup first "
+                         "(requires --warc-ts-col)")
+    ap.add_argument("--warc-ts-col", default="warc_ts")
+    ap.add_argument("--exactsubstr-cut", action="store_true",
+                    help="ExactSubstr: cut duplicated >=L-char normalized "
+                         "runs (first occurrence kept) before the gates")
+    ap.add_argument("--exactsubstr-len", type=int, default=50)
     ap.add_argument("--mix-alpha", type=float, default=None,
                     help="temperature mixture sampling exponent")
     ap.add_argument("--mix-target", type=int, default=None,
@@ -80,11 +95,39 @@ def main() -> int:
     docs = spark.read.parquet(args.docs)
     id_col, text_col = args.id_col, args.text_col
 
+    # -1. optional capture-level dedup: latest capture per canonical URL
+    n_in = docs.count()
+    if args.url_col:
+        from biocurator_mapper_spark.operators.urls import dedup_url_latest
+
+        winners = dedup_url_latest(
+            docs.select(id_col, args.url_col, args.warc_ts_col),
+            args.url_col,
+            args.warc_ts_col,
+            id_col,
+        ).select(id_col)
+        docs = docs.join(winners, id_col, "left_semi")
+
     # 0. optional paragraph dedup (CCNet ordering: boilerplate out first)
     if args.paragraph_dedup:
         from biocurator_mapper_spark.operators.dedup import paragraph_dedup_text
 
         docs = paragraph_dedup_text(docs, id_col, text_col)
+
+    # 0b. optional ExactSubstr cut (normalized text from here on)
+    if args.exactsubstr_cut:
+        from biocurator_mapper_spark.operators.exactsubstr import (
+            cut_spans_by_range,
+            exact_substring_spans,
+        )
+
+        spans = exact_substring_spans(
+            docs, id_col, text_col, length=args.exactsubstr_len
+        )
+        cut = cut_spans_by_range(docs, spans, id_col, text_col)
+        docs = docs.drop(text_col).join(
+            cut.select(id_col, F.col("text_cut").alias(text_col)), id_col
+        )
 
     # 1. gates + exact dedup (one stage label per doc)
     staged = curate(
@@ -182,7 +225,8 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "rows_in": docs.count(),
+                "rows_in": n_in,
+                "after_url_dedup": docs.count() if args.url_col else None,
                 "funnel": dict(funnel),
                 "after_gates": n_after_gates,
                 "after_near_dup": n_after_neardup,
