@@ -848,6 +848,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), _exsub_spans(spark, sf_dir), "doc_id", "text"
         )
 
+    def dedup_exactsubstr_incremental(spark, sf_dir):
+        # the exact tier against STORED gram state: only the increment
+        # (doc_id >= 250) is hashed; stored grams arrive as bare keys.
+        # Under monotone ingestion this EQUALS the batch tier restricted
+        # to the increment — the oracle is the full-corpus SQL span
+        # derivation with exactly that restriction
+        from biocurator_mapper_spark.operators.exactsubstr import (
+            gram_state,
+            incremental_substring_spans,
+        )
+
+        d = _docs(spark, sf_dir)
+        state = gram_state(
+            d.where(F.col("doc_id") < 250), "doc_id", "text", length=50
+        )
+        return incremental_substring_spans(
+            d.where(F.col("doc_id") >= 250), state, "doc_id", "text", length=50
+        )
+
     def url_canonical(spark, sf_dir):
         # crawl-table URL canonicalization: lowercase scheme/host, default
         # ports + fragments + tracking params stripped, query sorted,
@@ -1494,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": url_canonical,
         "dedup_url_latest": dedup_url_latest,
         "sample_domain_cap": sample_domain_cap,
+        "dedup_exactsubstr_incremental": dedup_exactsubstr_incremental,
         # --- no driver row in r5 (driver-green r4) -----------------------
         "j6_mention_detect": j6_mention_detect,
         "j5_topk_similarity": j5_topk_similarity,
@@ -2444,6 +2464,19 @@ FROM spans"""
     )
 
 
+def _exactsubstr_incremental_sql(length: int = 50, split_id: int = 250) -> str:
+    # batch-equivalence under monotone ingestion: the full-corpus span
+    # derivation restricted to the increment's docs
+    return (
+        _exactsubstr_cte(length)
+        + f"""
+SELECT doc_id::BIGINT AS doc_id,
+       span_start::BIGINT AS span_start,
+       span_end::BIGINT AS span_end
+FROM spans WHERE doc_id >= {split_id}"""
+    )
+
+
 def _exactsubstr_cut_sql(length: int = 50) -> str:
     # kept segments between spans (plus the tail after the last span),
     # joined on ' ' then whitespace-collapsed and trimmed — exactly the
@@ -2917,6 +2950,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _url_canonical_sql(),
         "dedup_url_latest": _url_latest_sql(),
         "sample_domain_cap": _domain_cap_sql(),
+        "dedup_exactsubstr_incremental": _exactsubstr_incremental_sql(),
         "dedup_substring_candidates": """
             WITH s AS (SELECT doc_id,
                               trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')) AS s

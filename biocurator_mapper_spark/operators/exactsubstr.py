@@ -177,6 +177,84 @@ def exact_substring_spans(
     )
 
 
+def gram_state(
+    df: DataFrame, id_col: str, text_col: str, length: int = 50
+) -> DataFrame:
+    """(h1, h2) — the DISTINCT L-gram keys of a corpus: the exact tier's
+    durable state. One row per distinct gram (boilerplate collapses), so
+    the store is a hash-agg reduction of the position relation; persist it
+    bucketed on the keys (``sources.catalog.merge_upsert`` with
+    ``key_cols=["h1", "h2"]``) and each increment MERGEs only its new
+    grams."""
+    return (
+        dup_gram_positions(df, id_col, text_col, length)
+        .select("h1", "h2")
+        .distinct()
+    )
+
+
+def incremental_substring_spans(
+    new_docs: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    text_col: str,
+    length: int = 50,
+) -> DataFrame:
+    """(<id_col>, span_start, span_end) for the INCREMENT only: spans of
+    ``new_docs`` covered by L-grams that either exist in ``state`` (the
+    stored corpus always wins — its copy is already kept) or repeat within
+    the increment (first in-batch occurrence kept, exactly the batch
+    min-(id,p) rule).
+
+    Under monotone ingestion — every new id sorts after every stored id,
+    the natural shape for crawl snapshots — this equals
+    ``exact_substring_spans`` over (stored ∪ new) RESTRICTED to the new
+    docs, exactly (differential-tested): a gram in both corpora has its
+    global first occurrence in the store, and a gram only in the
+    increment resolves first-occurrence within the batch. With
+    interleaved ids the batch rule could instead keep a NEW doc's copy
+    and cut a stored doc — this tier never rewrites stored docs, so the
+    equivalence (not correctness) depends on the precondition, same
+    contract as ``dedup.incremental_dedup``.
+
+    Plan: only the increment is hashed (one Arrow stage over new docs);
+    its position exchange is shared by the in-batch gram agg and the mark
+    join; the state join is a bare-key hash join on (h1, h2) — at rest
+    the store is bucketed on the same keys, so the exchange is one-sided.
+    Nothing stored-corpus-sized is ever re-hashed."""
+    rows = dup_gram_positions(new_docs, id_col, text_col, length).repartition(
+        "h1", "h2"
+    )
+    winner = F.min(F.struct(F.col(id_col).alias("i"), F.col("p").alias("q")))
+    grams = rows.groupBy("h1", "h2").agg(
+        winner.alias("_w"), F.count(F.lit(1)).alias("_c")
+    )
+    stored = state.select("h1", "h2").withColumn("_s", F.lit(1))
+    not_first = (F.col(id_col) != F.col("_w.i")) | (F.col("p") != F.col("_w.q"))
+    marked = (
+        rows.join(grams, ["h1", "h2"])
+        .join(stored, ["h1", "h2"], "left")
+        .where(
+            F.col("_s").isNotNull() | ((F.col("_c") >= 2) & not_first)
+        )
+        .select(id_col, "p")
+    )
+
+    w = Window.partitionBy(id_col).orderBy("p")
+    lagp = F.lag("p").over(w)
+    brk = F.when(lagp.isNull() | (F.col("p") - lagp > F.lit(length)), 1).otherwise(0)
+    grp = F.sum(brk).over(w)
+    return (
+        marked.withColumn("_g", grp)
+        .groupBy(id_col, "_g")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(length)).alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
 def cut_spans_by_range(
     docs: DataFrame,
     spans: DataFrame,

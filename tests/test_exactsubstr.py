@@ -169,3 +169,108 @@ def test_position_relation_plan_shape(spark):
     assert plan.count("MapInPandas") == 1
     assert "ReusedExchange" in plan, "position exchange must be shared"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_spans_match_batch_restriction(spark):
+    """Monotone ingestion: incremental spans over the increment equal the
+    batch tier's spans restricted to the increment docs — exactly."""
+    import random
+
+    from biocurator_mapper_spark.operators.exactsubstr import (
+        exact_substring_spans,
+        gram_state,
+        incremental_substring_spans,
+    )
+
+    rng = random.Random(13)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    shared = " ".join(rng.choice(words) for _ in range(12))
+    docs = []
+    for i in range(16):
+        body = " ".join(rng.choice(words) for _ in range(rng.randint(5, 40)))
+        if i % 3 == 0:
+            body = body + " " + shared
+        if i % 7 == 0:
+            body = shared + " " + body  # shared run in BOTH halves
+        docs.append((i, body))
+    L = 30
+    stored_rows, new_rows = docs[:8], docs[8:]
+    stored = spark.createDataFrame(stored_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    state = gram_state(stored, "doc_id", "text", length=L)
+
+    inc = sorted(
+        tuple(r)
+        for r in incremental_substring_spans(
+            new, state, "doc_id", "text", length=L
+        ).collect()
+    )
+    full = spark.createDataFrame(docs, ["doc_id", "text"])
+    batch = sorted(
+        tuple(r)
+        for r in exact_substring_spans(full, "doc_id", "text", length=L)
+        .where("doc_id >= 8")
+        .collect()
+    )
+    assert inc == batch and inc  # non-trivial: cross-half runs exist
+
+
+def test_incremental_state_in_catalog_two_increments(spark, tmp_path):
+    """State persisted via keyed MERGE: two sequential increments against
+    the stored gram keys reproduce the batch restriction per increment;
+    re-merging an increment's grams is idempotent."""
+    from biocurator_mapper_spark.operators.exactsubstr import (
+        exact_substring_spans,
+        gram_state,
+        incremental_substring_spans,
+    )
+    from biocurator_mapper_spark.sources.catalog import ParquetCatalog
+
+    passage = (
+        "winnowing selects one anchor per window of consecutive hashes "
+        "guaranteeing shared long runs collide"
+    )
+    base = [(i, f"unique filler {i} with some words") for i in range(4)]
+    docs = base + [
+        (4, f"first carrier of the passage {passage} trailing words"),
+        (5, f"second carrier {passage} other trailing material"),
+        (6, "no repeats here at all just original text"),
+        (7, f"third carrier appears late {passage} indeed"),
+    ]
+    L = 50
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+
+    def _ingest(rows):
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        st = (
+            cat.read("grams")
+            if cat.exists("grams")
+            else spark.createDataFrame([], "h1 long, h2 long")
+        )
+        spans = incremental_substring_spans(df, st, "doc_id", "text", length=L)
+        out = sorted(tuple(r) for r in spans.collect())
+        new_grams = gram_state(df, "doc_id", "text", length=L)
+        if not new_grams.isEmpty():
+            cat.merge_upsert(new_grams, "grams", ["h1", "h2"], n_buckets=4)
+        return out
+
+    inc1 = _ingest(docs[:5])  # includes the FIRST passage carrier
+    inc2 = _ingest(docs[5:])
+
+    full = spark.createDataFrame(docs, ["doc_id", "text"])
+    batch = exact_substring_spans(full, "doc_id", "text", length=L)
+    b1 = sorted(tuple(r) for r in batch.where("doc_id < 5").collect())
+    b2 = sorted(tuple(r) for r in batch.where("doc_id >= 5").collect())
+    assert inc1 == b1 == []  # first carrier is the kept copy
+    assert inc2 == b2 and len(inc2) == 2  # docs 5 and 7 cut
+
+    # replaying increment 2's state merge is a content no-op
+    v_before = cat.read("grams").count()
+    cat.merge_upsert(
+        gram_state(
+            spark.createDataFrame(docs[5:], ["doc_id", "text"]),
+            "doc_id", "text", length=L,
+        ),
+        "grams", ["h1", "h2"], n_buckets=4,
+    )
+    assert cat.read("grams").count() == v_before
