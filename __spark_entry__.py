@@ -848,6 +848,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), _exsub_spans(spark, sf_dir), "doc_id", "text"
         )
 
+    def sample_dsir_weights(spark, sf_dir):
+        # DSIR importance scores (Xie et al. 2023): raw docs scored by how
+        # target-like their hashed-bigram distribution is. Counts are
+        # engine-side (Spark here, DuckDB in the oracle — independent);
+        # the per-bucket quantized log-ratios are the SAME pure-Python
+        # ints on both sides (the temperature-threshold oracle pattern)
+        from biocurator_mapper_spark.operators.importance import (
+            bucket_counts,
+            dsir_log_ratios,
+            importance_scores,
+        )
+
+        d = _docs(spark, sf_dir)
+        target = d.where(F.col("source").isin("src0", "src1"))
+        raw = d.where(~F.col("source").isin("src0", "src1"))
+        ratios = dsir_log_ratios(
+            bucket_counts(target, "text"), bucket_counts(raw, "text")
+        )
+        return importance_scores(raw, "doc_id", "text", ratios)
+
     def dedup_exactsubstr_incremental(spark, sf_dir):
         # the exact tier against STORED gram state: only the increment
         # (doc_id >= 250) is hashed; stored grams arrive as bare keys.
@@ -1514,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url_latest": dedup_url_latest,
         "sample_domain_cap": sample_domain_cap,
         "dedup_exactsubstr_incremental": dedup_exactsubstr_incremental,
+        "sample_dsir_weights": sample_dsir_weights,
         # --- no driver row in r5 (driver-green r4) -----------------------
         "j6_mention_detect": j6_mention_detect,
         "j5_topk_similarity": j5_topk_similarity,
@@ -2464,6 +2485,77 @@ FROM spans"""
     )
 
 
+_DSIR_T_COND = "source IN ('src0', 'src1')"
+_DSIR_R_COND = "source NOT IN ('src0', 'src1')"
+
+
+def _dsir_grams_cte(cond: str) -> str:
+    # NON-distinct word bigrams (the multiset is the signal) — same token
+    # regex as _shingle_cte, duplicates kept
+    return f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents WHERE {cond}
+),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE
+           WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+           WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+           ELSE [] END) AS g
+  FROM toks
+)"""
+
+
+def _dsir_sql(dim: int | None = None) -> str:
+    """Oracle for sample_dsir_weights: bucket counts re-derived with DuckDB
+    SQL (independent tokenize/bigram/hash/count), fed through the SAME
+    pure-Python quantized log-ratio function, inlined as VALUES; scoring
+    (bucket join + per-doc integer sum) is then pure SQL."""
+    import os as _os
+
+    import duckdb
+
+    from biocurator_mapper_spark.operators.importance import (
+        DSIR_DIM,
+        dsir_log_ratios,
+    )
+
+    dim = dim or DSIR_DIM
+    sf_dir = _os.environ.get(_ORACLE_SF_DIR_ENV, "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+
+    def _counts(cond: str) -> dict[int, int]:
+        rows = con.execute(
+            f"""WITH {_dsir_grams_cte(cond)}
+            SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % {dim} AS b,
+                   count(*) AS c
+            FROM grams GROUP BY 1"""
+        ).fetchall()
+        return {int(b): int(c) for b, c in rows}
+
+    ratios = dsir_log_ratios(_counts(_DSIR_T_COND), _counts(_DSIR_R_COND), dim)
+    con.close()
+    vals = ",".join(f"({b},{r})" for b, r in sorted(ratios.items()))
+    return f"""
+WITH ratios(b, lr) AS (VALUES {vals}),
+{_dsir_grams_cte(_DSIR_R_COND)},
+bk AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % {dim} AS b
+  FROM grams
+),
+sc AS (SELECT doc_id, sum(lr) AS s FROM bk JOIN ratios USING (b) GROUP BY doc_id)
+SELECT d.doc_id::BIGINT AS doc_id, coalesce(sc.s, 0)::BIGINT AS dsir_score
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+WHERE {_DSIR_R_COND}"""
+
+
 def _exactsubstr_incremental_sql(length: int = 50, split_id: int = 250) -> str:
     # batch-equivalence under monotone ingestion: the full-corpus span
     # derivation restricted to the increment's docs
@@ -2951,6 +3043,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_url_latest": _url_latest_sql(),
         "sample_domain_cap": _domain_cap_sql(),
         "dedup_exactsubstr_incremental": _exactsubstr_incremental_sql(),
+        "sample_dsir_weights": _dsir_sql(),
         "dedup_substring_candidates": """
             WITH s AS (SELECT doc_id,
                               trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')) AS s
