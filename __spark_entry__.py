@@ -979,6 +979,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "text", n=13,
         ).select("doc_id", "source")
 
+    def dedup_decontaminate_bloom(spark, sf_dir):
+        # the memory-bounded variant of the exact 13-gram rule: benchmark
+        # grams become a fixed-size broadcast Bloom bitmap, only Bloom
+        # candidates reach the exact verify join — result-IDENTICAL to
+        # dedup_decontaminate_exact (no false negatives + exact verify),
+        # which is the oracle
+        from biocurator_mapper_spark.operators.bloom import decontaminate_bloom
+
+        d = _docs(spark, sf_dir)
+        return decontaminate_bloom(
+            d.where(F.col("doc_id") % 20 != 0).select("doc_id", "source", "text"),
+            d.where(F.col("doc_id") % 20 == 0),
+            "doc_id", "text", n=13,
+        ).select("doc_id", "source")
+
     def dedup_decontaminate(spark, sf_dir):
         # decontaminate == corpus anti-join on the (shared) cross-pair
         # relation — same wiring as operators.dedup.decontaminate, reusing
@@ -1535,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_domain_cap": sample_domain_cap,
         "dedup_exactsubstr_incremental": dedup_exactsubstr_incremental,
         "sample_dsir_weights": sample_dsir_weights,
+        "dedup_decontaminate_bloom": dedup_decontaminate_bloom,
         # --- no driver row in r5 (driver-green r4) -----------------------
         "j6_mention_detect": j6_mention_detect,
         "j5_topk_similarity": j5_topk_similarity,
@@ -3119,6 +3135,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_decontaminate_exact": f"""
             -- exact 13-gram collision rule (GPT-3/PaLM decontamination):
             -- any shared word 13-gram with a benchmark doc contaminates
+            WITH {_hashed_shingle_cte(13)},
+            contaminated AS (
+              SELECT DISTINCT a.doc_id
+              FROM hrows a JOIN hrows b ON a.h = b.h
+              WHERE a.{_CORPUS_COND} AND b.{_BENCH_COND}
+            )
+            SELECT doc_id, source FROM documents
+            WHERE {_CORPUS_COND}
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        # Bloom tier is result-identical to the exact tier by construction
+        # (no false negatives + exact verification of candidates) — the
+        # oracle IS the exact tier's derivation
+        "dedup_decontaminate_bloom": f"""
             WITH {_hashed_shingle_cte(13)},
             contaminated AS (
               SELECT DISTINCT a.doc_id
