@@ -178,19 +178,29 @@ def exact_substring_spans(
 
 
 def gram_state(
-    df: DataFrame, id_col: str, text_col: str, length: int = 50
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    length: int = 50,
+    with_first: bool = False,
 ) -> DataFrame:
-    """(h1, h2) — the DISTINCT L-gram keys of a corpus: the exact tier's
-    durable state. One row per distinct gram (boilerplate collapses), so
-    the store is a hash-agg reduction of the position relation; persist it
-    bucketed on the keys (``sources.catalog.merge_upsert`` with
-    ``key_cols=["h1", "h2"]``) and each increment MERGEs only its new
-    grams."""
-    return (
-        dup_gram_positions(df, id_col, text_col, length)
-        .select("h1", "h2")
-        .distinct()
-    )
+    """(h1, h2[, first_i]) — the DISTINCT L-gram keys of a corpus: the
+    exact tier's durable state. One row per distinct gram (boilerplate
+    collapses), so the store is a hash-agg reduction of the position
+    relation; persist it bucketed on the keys
+    (``sources.catalog.merge_upsert`` with ``key_cols=["h1", "h2"]``) and
+    each increment MERGEs only its new grams.
+
+    ``with_first=True`` adds the min contributor id per gram — the
+    replay-safety column for the streaming sink: a stored gram does not
+    mark positions of ITS OWN first contributor, so re-processing a batch
+    against state that already contains its grams reproduces the original
+    marks exactly (state inserts must then be first-writer-wins: anti-join
+    the store before merging)."""
+    rows = dup_gram_positions(df, id_col, text_col, length)
+    if not with_first:
+        return rows.select("h1", "h2").distinct()
+    return rows.groupBy("h1", "h2").agg(F.min(id_col).alias("first_i"))
 
 
 def incremental_substring_spans(
@@ -229,14 +239,24 @@ def incremental_substring_spans(
     grams = rows.groupBy("h1", "h2").agg(
         winner.alias("_w"), F.count(F.lit(1)).alias("_c")
     )
-    stored = state.select("h1", "h2").withColumn("_s", F.lit(1))
+    # a state carrying first_i (gram_state(with_first=True)) never marks
+    # its own first contributor — the streaming sink's replay-safety rule;
+    # bare-key state marks every holder (the batch-ingest contract)
+    if "first_i" in state.columns:
+        stored = state.select(
+            "h1", "h2", F.col("first_i").alias("_sf")
+        ).withColumn("_s", F.lit(1))
+        stored_hit = F.col("_s").isNotNull() & (
+            F.col("_sf").isNull() | (F.col("_sf") != F.col(id_col))
+        )
+    else:
+        stored = state.select("h1", "h2").withColumn("_s", F.lit(1))
+        stored_hit = F.col("_s").isNotNull()
     not_first = (F.col(id_col) != F.col("_w.i")) | (F.col("p") != F.col("_w.q"))
     marked = (
         rows.join(grams, ["h1", "h2"])
         .join(stored, ["h1", "h2"], "left")
-        .where(
-            F.col("_s").isNotNull() | ((F.col("_c") >= 2) & not_first)
-        )
+        .where(stored_hit | ((F.col("_c") >= 2) & not_first))
         .select(id_col, "p")
     )
 

@@ -146,3 +146,86 @@ def streaming_neardup_sink(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def streaming_exactsubstr_sink(
+    pages_stream: DataFrame,
+    catalog,
+    out_table: str,
+    state_table: str,
+    checkpoint_dir: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    length: int = 50,
+    n_buckets: int = 64,
+    trigger: dict | None = None,
+):
+    """Streaming ExactSubstr with durable gram state: each micro-batch cuts
+    every duplicated >=L-char normalized run — against the CATALOG-stored
+    gram keys (no horizon: a passage lifted months later is still cut) and
+    within the batch — writes (id, text_cut, n_cut_chars) to ``out_table``
+    and inserts the batch's new grams into ``state_table``. Only the batch
+    is ever hashed; stored grams travel as bare keys + first-contributor id.
+
+    Replay-idempotent without transactions, via two rules working together:
+    state rows carry ``first_i`` and a stored gram never marks its own
+    first contributor (so a replayed batch re-derives exactly its original
+    marks — its own grams in the store don't over-cut it), and the state
+    merge is FIRST-WRITER-WINS (new grams anti-join the store before the
+    keyed MERGE, so a replay inserts nothing and cross-batch first_i never
+    flips). Both writes are keyed MERGEs; a crash between them replays
+    into the same final state.
+
+    Semantics note: a RE-crawled id (same id, new text, later batch) is
+    not cut against its own earlier grams — a document is not a duplicate
+    of itself; run the capture-level URL dedup upstream if recrawls should
+    collapse instead. Returns the started StreamingQuery."""
+    from ..operators.exactsubstr import (
+        cut_spans_by_range,
+        gram_state,
+        incremental_substring_spans,
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        from pyspark.sql import Window
+
+        # one row per id within the batch (deterministic content-hash
+        # winner — same rule as the near-dup sink above)
+        non_key = [c for c in batch_df.columns if c != id_col]
+        w = Window.partitionBy(id_col).orderBy(
+            F.asc(F.xxhash64(F.to_json(F.struct(*non_key))))
+            if non_key
+            else F.asc(id_col)
+        )
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if catalog.exists(state_table):
+            state = catalog.read(state_table)
+        else:
+            state = gram_state(
+                batch_df.limit(0), id_col, text_col, length, with_first=True
+            )
+        spans = incremental_substring_spans(
+            batch_df, state, id_col, text_col, length
+        )
+        cut = cut_spans_by_range(batch_df, spans, id_col, text_col)
+        catalog.merge_upsert(cut, out_table, [id_col], n_buckets=n_buckets)
+        new_grams = gram_state(
+            batch_df, id_col, text_col, length, with_first=True
+        ).join(state.select("h1", "h2"), ["h1", "h2"], "left_anti")
+        if new_grams.take(1):
+            catalog.merge_upsert(
+                new_grams, state_table, ["h1", "h2"], n_buckets=n_buckets
+            )
+
+    return (
+        pages_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -212,3 +212,82 @@ def test_streaming_neardup_sink_survives_duplicate_ids_in_batch(
     assert q.exception() is None
     got = {r.url for r in cat.read("docs_di").select("url").collect()}
     assert got == {"u://same", "u://other"}
+
+
+def test_streaming_exactsubstr_sink_cross_batch_and_replay(spark, tmp_path):
+    """Streaming ExactSubstr vs durable gram state: a passage lifted in a
+    later batch is cut (first occurrence kept); a full replay from a fresh
+    checkpoint converges to identical tables (first-writer-wins state +
+    own-contributor skip)."""
+    import os as _os
+    import time as _t
+
+    from biocurator_mapper_spark.operators.exactsubstr import (
+        cut_spans_by_range,
+        exact_substring_spans,
+    )
+    from biocurator_mapper_spark.sources.catalog import ParquetCatalog
+    from biocurator_mapper_spark.streaming.dedup import streaming_exactsubstr_sink
+
+    passage = (
+        "gaps and islands windows merge covered positions into maximal "
+        "spans across the whole corpus deterministically"
+    )
+    b0 = [
+        (1, f"original document carries the passage {passage} first"),
+        (2, "unrelated clean document with entirely original words"),
+    ]
+    b1 = [
+        (3, f"later lift of {passage} plus trailing commentary"),
+        (4, "another clean late arrival with its own content"),
+    ]
+    landing = tmp_path / "in_es"
+    landing.mkdir()
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            str(landing / f"b{i}")
+        )
+    now = _t.time()
+    for i in range(2):
+        d = landing / f"b{i}"
+        for p in d.rglob("*"):
+            _os.utime(p, (now - 100 + i * 40, now - 100 + i * 40))
+        _os.utime(d, (now - 100 + i * 40, now - 100 + i * 40))
+
+    catalog = ParquetCatalog(spark, str(tmp_path / "wh_es"))
+
+    def _run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing) + "/*")
+        )
+        q = streaming_exactsubstr_sink(
+            stream, catalog, "docs_cut", "grams", checkpoint_dir=str(ckpt),
+            id_col="doc_id", text_col="text", length=50, n_buckets=4,
+        )
+        q.awaitTermination(180)
+
+    _run(tmp_path / "ck_es1")
+    got = {r.doc_id: (r.text_cut, r.n_cut_chars) for r in catalog.read("docs_cut").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1][1] == 0 and "gaps and islands" in got[1][0]  # first kept
+    assert got[3][1] > 0 and "gaps and islands" not in got[3][0]  # lift cut
+    assert got[2][1] == 0 and got[4][1] == 0
+
+    # batch twin under monotone ingestion: same cut text per doc
+    full = spark.createDataFrame(b0 + b1, "doc_id long, text string")
+    spans = exact_substring_spans(full, "doc_id", "text", length=50)
+    batch = {
+        r.doc_id: (r.text_cut, r.n_cut_chars)
+        for r in cut_spans_by_range(full, spans, "doc_id", "text").collect()
+    }
+    assert batch == got
+
+    # full replay from a fresh checkpoint: identical content
+    _run(tmp_path / "ck_es2")
+    again = {r.doc_id: (r.text_cut, r.n_cut_chars) for r in catalog.read("docs_cut").collect()}
+    assert again == got
+    # and the state kept its original first contributors (insert-only)
+    st = catalog.read("grams")
+    assert st.where("first_i = 3").count() < st.count()
