@@ -1230,12 +1230,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def text_bpe_ids(spark, sf_dir):
-        # REAL tokenizer-ID sequences (array<int>): the checked-in merge
-        # table encoded against the fixed vocab (unk=0, printable ASCII,
-        # then merges in rank order) in one Arrow-batched pandas_udf.
-        # Oracle = independent rank-order-scan id encoder (VALUES with
-        # INTEGER[] literals). ids built in one projection, fanned out in a
-        # SEPARATE one (CollapseProject keeps the UDF evaluated once).
+        # REAL tokenizer-ID sequences: the checked-in merge table encoded
+        # against the fixed vocab (unk=0, printable ASCII, then merges in
+        # rank order) in one Arrow-batched pandas_udf. Oracle = independent
+        # rank-order-scan id encoder (VALUES). The driver-visible relation
+        # is SCALAR-ONLY (the driver's pandas canonicalizer cannot hash
+        # list cells — r6 rows erred on array<int>): ids are checked as
+        # n_ids + the exact space-joined id string, element order and all.
+        # The array<int> API stays in functions/bpe.py for pytest/CLI. ids
+        # built in one projection, fanned out in a SEPARATE one
+        # (CollapseProject keeps the UDF evaluated once).
         from biocurator_mapper_spark.functions.bpe import bpe_encode_expr
         from biocurator_mapper_spark.functions.bpe_merges import MERGES
 
@@ -1245,7 +1249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(
                 "doc_id",
                 F.size("_ids").cast("bigint").alias("n_ids"),
-                F.col("_ids").alias("ids"),
+                F.array_join(
+                    F.transform(F.col("_ids"), lambda x: x.cast("string")),
+                    " ",
+                ).alias("ids_str"),
             )
         )
 
@@ -1254,18 +1261,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # input: encode (Arrow stage), then materialize 256-id sequences of
         # the doc_id-ordered concatenated id stream via the distributed
         # prefix scan + one balanced seq_id shuffle. Docs split at window
-        # boundaries, GPT-style.
+        # boundaries, GPT-style. Driver-visible relation is SCALAR-ONLY
+        # (see text_bpe_ids): n_tokens + the exact space-joined id string
+        # per sequence; the array<int> API stays in operators/packing.py.
         from biocurator_mapper_spark.functions.bpe import bpe_encode_expr
         from biocurator_mapper_spark.functions.bpe_merges import MERGES
         from biocurator_mapper_spark.operators.packing import (
             materialize_id_sequences,
         )
 
-        return materialize_id_sequences(
+        seqs = materialize_id_sequences(
             _docs(spark, sf_dir),
             "doc_id",
             bpe_encode_expr(F.col("text"), MERGES),
             ctx_len=256,
+        )
+        return seqs.select(
+            "seq_id",
+            "n_tokens",
+            F.array_join(
+                F.transform(F.col("seq_ids"), lambda x: x.cast("string")),
+                " ",
+            ).alias("seq_ids_str"),
         )
 
     def dedup_paragraphs(spark, sf_dir):
@@ -2269,20 +2286,23 @@ def _reference_doc_ids() -> list[tuple[int, list[int]]]:
 
 
 def _bpe_ids_sql() -> str:
-    """Oracle for text_bpe_ids: independent-encoder id arrays inlined as
-    INTEGER[] VALUES (the text_bpe_real pattern, array-valued)."""
+    """Oracle for text_bpe_ids: independent-encoder id sequences inlined
+    as VALUES, space-joined to a scalar string (the driver's canonicalizer
+    cannot hash list cells — element order is still fully checked by the
+    exact joined string)."""
     docs = _reference_doc_ids()
     if not docs:
         return (
             "SELECT NULL::BIGINT AS doc_id, NULL::BIGINT AS n_ids, "
-            "NULL::INTEGER[] AS ids WHERE false"
+            "NULL::VARCHAR AS ids_str WHERE false"
         )
     vals = ",\n  ".join(
-        f"({d}, {len(ids)}, {ids!r}::INTEGER[])" for d, ids in docs
+        "({}, {}, '{}')".format(d, len(ids), " ".join(map(str, ids)))
+        for d, ids in docs
     )
     return (
-        "SELECT doc_id::BIGINT AS doc_id, n_ids::BIGINT AS n_ids, ids "
-        f"FROM (VALUES\n  {vals}\n) AS t(doc_id, n_ids, ids)"
+        "SELECT doc_id::BIGINT AS doc_id, n_ids::BIGINT AS n_ids, ids_str "
+        f"FROM (VALUES\n  {vals}\n) AS t(doc_id, n_ids, ids_str)"
     )
 
 
@@ -2297,18 +2317,20 @@ def _pack_ids_sql(ctx_len: int = 256) -> str:
     if not stream:
         return (
             "SELECT NULL::BIGINT AS seq_id, NULL::BIGINT AS n_tokens, "
-            "NULL::INTEGER[] AS seq_ids WHERE false"
+            "NULL::VARCHAR AS seq_ids_str WHERE false"
         )
     rows = []
     for k in range((len(stream) + ctx_len - 1) // ctx_len):
         seq = stream[k * ctx_len : (k + 1) * ctx_len]
         rows.append((k, len(seq), seq))
     vals = ",\n  ".join(
-        f"({k}, {n}, {seq!r}::INTEGER[])" for k, n, seq in rows
+        "({}, {}, '{}')".format(k, n, " ".join(map(str, seq)))
+        for k, n, seq in rows
     )
     return (
         "SELECT seq_id::BIGINT AS seq_id, n_tokens::BIGINT AS n_tokens, "
-        f"seq_ids FROM (VALUES\n  {vals}\n) AS t(seq_id, n_tokens, seq_ids)"
+        "seq_ids_str "
+        f"FROM (VALUES\n  {vals}\n) AS t(seq_id, n_tokens, seq_ids_str)"
     )
 
 

@@ -132,10 +132,19 @@ def main():
             print(f"[FAIL-duck ] {name}: {str(e)[:200]}")
             continue
         problems = []
+        # driver-parity guard: the driver's pandas canonicalizer
+        # sort_values() raises "unhashable type: 'list'" on array columns
+        # (r6: text_bpe_ids / pack_materialize_ids) — fail locally too.
+        sp_types = _spark_type_classes(df)
+        listy = [c for c, t in sp_types.items() if t == "list"]
+        if listy:
+            problems.append(
+                f"driver-uncanonicalizable array columns {listy} "
+                "(scalarize: array_join / posexplode)"
+            )
         if sorted(sp_cols) != sorted(dk_cols):
             problems.append(f"schema {sorted(sp_cols)} != {sorted(dk_cols)}")
         else:
-            sp_types = _spark_type_classes(df)
             tmis = {
                 c: (sp_types[c], dk_types[c])
                 for c in sp_cols
