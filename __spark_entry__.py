@@ -58,6 +58,10 @@ _URL_HOST_SQL = (
 )
 _URL_RAW_EXPR = (
     "CASE WHEN (doc_id % 250) % 3 = 0 THEN 'https' ELSE 'http' END || '://' "
+    # userinfo-bearing captures (RFC 3986 §3.2): credentials and the
+    # '@'-trick phishing shape must strip to the same canonical page
+    "|| CASE WHEN doc_id % 13 = 0 THEN 'user:pw@' "
+    "WHEN doc_id % 17 = 0 THEN 'evil.example.com@' ELSE '' END "
     f"|| CASE WHEN doc_id % 2 = 0 THEN upper({_URL_HOST_SQL}) "
     f"ELSE {_URL_HOST_SQL} END "
     "|| CASE WHEN doc_id % 3 = 0 THEN "
@@ -2388,7 +2392,8 @@ WITH cap AS (
 ), parts AS (
   SELECT doc_id, url_raw,
          lower(regexp_extract(url_raw, '{URL_RE}', 1)) AS scheme,
-         regexp_extract(url_raw, '{URL_RE}', 2) AS auth,
+         regexp_replace(regexp_extract(url_raw, '{URL_RE}', 2),
+                        '^[^/@]*@', '') AS auth,
          regexp_extract(url_raw, '{URL_RE}', 3) AS rawpath,
          regexp_extract(url_raw, '{URL_RE}', 4) AS q
   FROM cap

@@ -63,9 +63,15 @@ def url_parts(url: Column) -> Column:
     """struct(scheme, host, port, path, query) — RFC-3986-ish split with
     one regexp evaluated once (fan the fields out in a SEPARATE projection
     per the CollapseProject rule if you need several). Non-URL strings
-    yield empty-string fields, never NULL surprises."""
+    yield empty-string fields, never NULL surprises.
+
+    Userinfo (``user:pass@host``, RFC 3986 §3.2) is stripped from the
+    authority BEFORE the host/port split — real crawls carry credentialed
+    and ``@``-trick phishing URLs, and splitting on ':' first would yield
+    host='user', port='pass@example.com' (the page identity AND the
+    domain grouping key would both be wrong)."""
     scheme = F.lower(F.regexp_extract(url, URL_RE, 1))
-    auth = F.regexp_extract(url, URL_RE, 2)
+    auth = F.regexp_replace(F.regexp_extract(url, URL_RE, 2), r"^[^/@]*@", "")
     host = F.lower(F.split_part(auth, F.lit(":"), F.lit(1)))
     port = F.when(auth.contains(":"), F.split_part(auth, F.lit(":"), F.lit(2))).otherwise(
         F.lit("")
