@@ -77,6 +77,24 @@ _URL_RAW_EXPR = (
     "|| CASE WHEN doc_id % 4 = 1 THEN '#sec' ELSE '' END"
 )
 
+# Host fixture for the PSL tier: exercises private-section suffixes
+# (github.io, s3.amazonaws.com), the wildcard+exception family
+# (*.kawasaki.jp / !city.kawasaki.jp), deep plain registries (co.uk),
+# an unlisted TLD (heuristic fallback), and host case noise. Parses
+# identically in Spark SQL and DuckDB (CASE/||/CAST only).
+_PSL_HOST_SQL = (
+    "CASE doc_id % 7 "
+    "WHEN 0 THEN 'x' || CAST(doc_id % 5 AS STRING) || '.site' || "
+    "CAST(doc_id % 11 AS STRING) || '.github.io' "
+    "WHEN 1 THEN 'a' || CAST(doc_id % 3 AS STRING) || '.city.kawasaki.jp' "
+    "WHEN 2 THEN 'b.shop' || CAST(doc_id % 4 AS STRING) || '.kawasaki.jp' "
+    "WHEN 3 THEN 'deep.a.b.example' || CAST(doc_id % 6 AS STRING) || '.co.uk' "
+    "WHEN 4 THEN 'n' || CAST(doc_id % 3 AS STRING) || '.example.test' "
+    "WHEN 5 THEN 'app' || CAST(doc_id % 5 AS STRING) || '.s3.amazonaws.com' "
+    f"ELSE CASE WHEN doc_id % 2 = 0 THEN upper({_URL_HOST_SQL}) "
+    f"ELSE {_URL_HOST_SQL} END END"
+)
+
 
 # Plan memo for the correctness pass: several contract queries share one
 # expensive LOGICAL PLAN (the kg pipeline's fused scan + rerank aggregate
@@ -914,6 +932,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def url_registrable_psl(spark, sf_dir):
+        # PSL registrable domains over a host fixture that exercises
+        # private-section suffixes, the wildcard+exception family, deep
+        # plain registries, and the heuristic fallback for unlisted TLDs.
+        # Physical shape: one left BroadcastHashJoin per rule label-count
+        # (zero shuffles, row-preserving), codegen prevailing-rule pick.
+        from biocurator_mapper_spark.operators.psl import with_psl_domain
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id", F.expr(_PSL_HOST_SQL).alias("host")
+        )
+        return with_psl_domain(d, "host", "domain_psl").select(
+            "doc_id", F.lower(F.col("host")).alias("host"), "domain_psl"
+        )
+
     def dedup_url_latest(spark, sf_dir):
         # latest-capture-per-canonical-url dedup: the crawl table's
         # snapshot view — one struct-max hash agg, recaptures collapse
@@ -1567,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exactsubstr_spans": dedup_exactsubstr_spans,
         "dedup_exactsubstr_cut": dedup_exactsubstr_cut,
         "url_canonical": url_canonical,
+        "url_registrable_psl": url_registrable_psl,
         "dedup_url_latest": dedup_url_latest,
         "sample_domain_cap": sample_domain_cap,
         "dedup_exactsubstr_incremental": dedup_exactsubstr_incremental,
@@ -2442,6 +2476,72 @@ SELECT doc_id::BIGINT AS doc_id, url_raw, url_norm, domain FROM normed"""
     )
 
 
+def _url_psl_sql() -> str:
+    """Oracle for url_registrable_psl: an independent DuckDB formulation
+    of the prevailing-rule algorithm (unnest candidate suffixes + one
+    rules join + group-by, vs the Spark side's per-label-count broadcast
+    joins), sharing only the parsed snapshot CONSTANTS."""
+    from biocurator_mapper_spark.operators.psl import parse_psl_rules
+    from biocurator_mapper_spark.operators.urls import REGISTRY_2LD
+
+    rules = parse_psl_rules()
+    rows = []
+    for r in rules.values():
+        if r.ps_low is not None:
+            rows.append((r.suffix, r.k, r.ps_low, "false"))
+        if r.ps_high is not None:  # wildcard: needs one more host label
+            rows.append((r.suffix, r.ps_high, r.ps_high, "false"))
+        if r.exc_ps is not None:
+            rows.append((r.suffix, r.k, r.exc_ps, "true"))
+    max_k = max(r.k for r in rules.values())
+    vals = ",\n    ".join(
+        f"('{s}', {mn}, {ps}, {exc})" for s, mn, ps, exc in rows
+    )
+    reg2 = "[" + ", ".join(f"'{p}'" for p in REGISTRY_2LD) + "]"
+    return f"""
+WITH hosts AS (
+  SELECT doc_id, lower({_PSL_HOST_SQL}) AS host FROM documents
+), hl AS (
+  SELECT doc_id, host, string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS n
+  FROM hosts
+), cand AS (
+  SELECT doc_id, n,
+         unnest(generate_series(1, least(n, {max_k}))) AS k, labels
+  FROM hl
+), c2 AS (
+  SELECT doc_id, n,
+         array_to_string(list_slice(labels, n - k + 1, n), '.') AS sfx
+  FROM cand
+), rules(sfx, min_n, ps_len, is_exc) AS (
+  SELECT * FROM (VALUES
+    {vals}
+  )
+), m AS (
+  SELECT c2.doc_id, r.is_exc, r.ps_len
+  FROM c2 JOIN rules r ON r.sfx = c2.sfx AND c2.n >= r.min_n
+), agg AS (
+  SELECT doc_id,
+         max(CASE WHEN is_exc THEN ps_len END) AS exc_ps,
+         max(CASE WHEN NOT is_exc THEN ps_len END) AS plain_ps
+  FROM m GROUP BY doc_id
+)
+SELECT h.doc_id::BIGINT AS doc_id, h.host,
+       CASE WHEN coalesce(a.exc_ps, a.plain_ps) IS NULL THEN
+              CASE WHEN h.n <= 2 THEN h.host
+                   WHEN length(h.labels[h.n]) = 2
+                        AND list_contains({reg2}, h.labels[h.n - 1])
+                     THEN array_to_string(list_slice(h.labels, h.n - 2, h.n), '.')
+                   ELSE array_to_string(list_slice(h.labels, h.n - 1, h.n), '.')
+              END
+            WHEN h.n <= coalesce(a.exc_ps, a.plain_ps) THEN h.host
+            ELSE array_to_string(
+                   list_slice(h.labels,
+                              h.n - coalesce(a.exc_ps, a.plain_ps), h.n), '.')
+       END AS domain_psl
+FROM hl h LEFT JOIN agg a ON a.doc_id = h.doc_id"""
+
+
 def _url_latest_sql() -> str:
     # struct-max over unique (ts, tb) == the row_number formulation
     return (
@@ -3083,6 +3183,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exactsubstr_spans": _exactsubstr_spans_sql(),
         "dedup_exactsubstr_cut": _exactsubstr_cut_sql(),
         "url_canonical": _url_canonical_sql(),
+        "url_registrable_psl": _url_psl_sql(),
         "dedup_url_latest": _url_latest_sql(),
         "sample_domain_cap": _domain_cap_sql(),
         "dedup_exactsubstr_incremental": _exactsubstr_incremental_sql(),
