@@ -2583,11 +2583,13 @@ def _exactsubstr_cte(length: int = 50) -> str:
     grouping the gram STRINGS (the Spark path keys by two independent
     62-bit polynomial hashes — the oracle never re-derives them), first
     occurrence per gram = min (doc_id, p), islands merged with the same
-    gaps-and-islands window."""
+    gaps-and-islands window. Normalization mirrors the operator's unicode
+    word class (operators/exactsubstr.py::_NORM_SQL — RE2 and Java agree
+    on \\p{{L}}/\\p{{N}})."""
     return f"""
 WITH norm AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')) AS s
+         trim(regexp_replace(lower(coalesce(text, '')), '[^\\p{{L}}\\p{{N}}]+', ' ', 'g')) AS s
   FROM documents
 ), pos AS (
   SELECT doc_id, unnest(generate_series(1, length(s) - {length} + 1)) AS p, s

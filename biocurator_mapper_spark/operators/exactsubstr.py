@@ -54,7 +54,17 @@ EXSUB_B3, EXSUB_M3 = 139, 2_147_483_587
 EXSUB_B4, EXSUB_M4 = 149, 2_147_483_563
 _COMBINE = 2_147_483_648  # 2³¹
 
-_NORM_SQL = "[^a-z0-9]+"
+# Unicode word-class normalization: any run of non-letter/non-digit
+# codepoints collapses to one space, so CJK/Cyrillic/Greek corpora dedup
+# for real instead of normalizing to near-empty strings (the r6 Latin-only
+# class silently skipped them). Three equivalent spellings, one per
+# engine: Java/RE2 `[^\p{L}\p{N}]+` (Spark regexp_replace + the DuckDB
+# oracle), Python `[\W_]+` (\w = letters+digits+underscore; subtracting
+# `_` leaves exactly letters+digits — combining marks and punctuation are
+# separators in all three). L is measured in CODEPOINTS (numpy kernel,
+# Spark substring, DuckDB substr all agree).
+_NORM_SQL = r"[^\p{L}\p{N}]+"
+_NORM_PY = r"[\W_]+"
 
 
 def _norm_col(text: Column) -> Column:
@@ -88,7 +98,7 @@ def dup_gram_positions(
         import numpy as np
         import pandas as pd
 
-        collapse = re.compile(r"[^a-z0-9]+")
+        collapse = re.compile(_NORM_PY)
         for pdf in it:
             ids, ps, h1s, h2s = [], [], [], []
             for id_, t in zip(pdf[id_col], pdf[text_col]):

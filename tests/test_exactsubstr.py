@@ -8,7 +8,8 @@ import pytest
 
 
 def _norm(t: str) -> str:
-    return re.sub(r"[^a-z0-9]+", " ", (t or "").lower()).strip()
+    # unicode word class, mirroring operators/exactsubstr.py::_NORM_PY
+    return re.sub(r"[\W_]+", " ", (t or "").lower()).strip()
 
 
 def _brute_spans(docs: list[tuple[int, str]], L: int) -> list[tuple[int, int, int]]:
@@ -66,6 +67,52 @@ def test_planted_passage_found_maximally(spark):
     assert nb[only[1] - 1 : only[2] - 1].strip().startswith(run[:50])
     # the span covers the full shared run, not just one gram
     assert only[2] - only[1] >= len(run)
+
+
+def test_cjk_passage_found_and_cut(spark):
+    # the r6 Latin-only normalization collapsed CJK text to near-empty
+    # strings and silently skipped dedup; the unicode word class dedups it
+    # for real, with L measured in CODEPOINTS.
+    passage = "吾輩は猫である名前はまだ無いどこで生れたかとんと見当がつかぬ何でも薄暗いじめじめした所でニャーニャー泣いていた"
+    assert len(passage) >= 30
+    a = "第一の文書 " + passage + " 独自の結末"
+    b = "まったく別の書き出し、" + passage + "。そして別の終わり"
+    rows = [(1, a), (2, b)]
+    got = _spans(spark, rows, L=30)
+    assert got == _brute_spans(rows, 30)
+    assert got and {r[0] for r in got} == {2}
+    # cut removes the lifted passage from the LATER doc only
+    from biocurator_mapper_spark.operators.exactsubstr import (
+        cut_spans_by_range,
+        exact_substring_spans,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = exact_substring_spans(df, "doc_id", "text", length=30)
+    cut = {
+        r.doc_id: r
+        for r in cut_spans_by_range(df, spans, "doc_id", "text").collect()
+    }
+    assert cut[1].n_cut_chars == 0 and passage in cut[1].text_cut
+    assert cut[2].n_cut_chars > 0 and passage not in cut[2].text_cut
+
+
+def test_mixed_script_normalization_parity(spark):
+    # accents, CJK, and punctuation normalize identically in the Spark
+    # expression twin and the Python kernel's collapse regex
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.operators.exactsubstr import _norm_col
+
+    samples = [
+        "Café au lait — déjà vu!",
+        "Ελληνικά κείμενα, και αριθμοί 123",
+        "日本語テキスト、句読点。English mixed_in",
+        "under_score and «guillemets»",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = [r.s for r in df.select(_norm_col(F.col("text")).alias("s")).collect()]
+    assert got == [_norm(s) for s in samples]
 
 
 def test_brute_force_differential_random(spark):
