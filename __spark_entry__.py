@@ -790,15 +790,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _cross_pairs(spark, sf_dir):
         # cross-corpus LSH pair relation, shared by dedup_cross_pairs AND
-        # dedup_decontaminate (decontaminate = anti-join on these pairs)
-        from biocurator_mapper_spark.operators.dedup import cross_minhash_pairs
+        # dedup_decontaminate (decontaminate = anti-join on these pairs).
+        # FLAGGED variant: both corpora are one table here, so signatures
+        # build once over the union (halves the explode+md5 work vs
+        # splitting first; result-identical, same oracle)
+        from biocurator_mapper_spark.operators.dedup import (
+            cross_minhash_pairs_flagged,
+        )
 
         def _build():
-            d = _docs(spark, sf_dir)
-            return cross_minhash_pairs(
-                d.where(F.col("doc_id") % 20 != 0),
-                d.where(F.col("doc_id") % 20 == 0),
-                "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5,
+            d = _docs(spark, sf_dir).withColumn(
+                "_is_bench", F.col("doc_id") % 20 == 0
+            )
+            return cross_minhash_pairs_flagged(
+                d, "doc_id", "text", "_is_bench",
+                n=3, num_hashes=16, bands=4, threshold=0.5,
             )
 
         return _memo_df(spark, ("cross_pairs", sf_dir), _build, persist=True)
@@ -807,18 +813,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # train/eval decontamination primitive: cross-corpus LSH pairs
         return _cross_pairs(spark, sf_dir)
 
+    def _winnow_pairs(spark, sf_dir):
+        # winnowing candidate pairs, shared by dedup_substring_candidates
+        # and dedup_substring_spans (spans = verify step over these pairs)
+        from biocurator_mapper_spark.operators.dedup import (
+            substring_dup_candidates,
+        )
+
+        def _build():
+            return substring_dup_candidates(
+                _docs(spark, sf_dir), "doc_id", "text", k=20, w=30
+            )
+
+        return _memo_df(spark, ("winnow_pairs", sf_dir), _build, persist=True)
+
     def dedup_substring_candidates(spark, sf_dir):
         # exact-substring tier (Lee et al. / MOSS winnowing): docs sharing
         # any normalized run ≥ w+k-1 = 49 chars share a winnowed anchor —
         # complete candidate generation for long lifted passages that
         # whole-doc MinHash can't see
-        from biocurator_mapper_spark.operators.dedup import (
-            substring_dup_candidates,
-        )
-
-        return substring_dup_candidates(
-            _docs(spark, sf_dir), "doc_id", "text", k=20, w=30
-        )
+        return _winnow_pairs(spark, sf_dir)
 
     def dedup_substring_spans(spark, sf_dir):
         # the VERIFY step of the exact-substring tier: per candidate pair,
@@ -826,12 +840,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # implementation-independent, so the oracle re-derives them with
         # difflib, a genuinely independent LCS implementation)
         from biocurator_mapper_spark.operators.dedup import (
-            substring_dup_candidates,
             substring_dup_spans,
         )
 
         d = _docs(spark, sf_dir)
-        pairs = substring_dup_candidates(d, "doc_id", "text", k=20, w=30)
+        pairs = _winnow_pairs(spark, sf_dir)
         return substring_dup_spans(d, pairs, "doc_id", "text", min_len=49).select(
             "id_a", "id_b", "span_len"
         )

@@ -22,11 +22,14 @@ engine), so the same filter can be built and probed from SQL if needed.
 
 Scale notes (100 TB): the filter build is one explode + distinct over the
 BENCHMARK (small side) collected as ≤ m bit positions; the corpus-side
-probe is a narrow per-row expression (k substr+conv lookups per gram)
-with zero state — no join, no shuffle — followed by the existing
-candidate-bounded exact semi-join. Size ``m_bits`` for the benchmark's
-distinct-gram count (k=3, m ≈ 14·n_grams gives ~1% false positives;
-false positives cost verify work, never correctness).
+probe is a narrow per-row expression — k O(1) bitset-word lookups per
+gram against a one-row broadcast ``array<long>`` column (never a plan
+literal: >64 KiB string constants break Janino codegen, and substring
+over a big hex string re-scans it per probe) — no join state, no
+shuffle — followed by the existing candidate-bounded exact semi-join.
+Size ``m_bits`` for the benchmark's distinct-gram count (k=3,
+m ≈ 14·n_grams gives ~1% false positives; false positives cost verify
+work, never correctness).
 """
 
 from __future__ import annotations
@@ -50,18 +53,17 @@ def _probe_positions_expr(h: Column, m_bits: int, k: int) -> list[Column]:
     ]
 
 
-def bloom_bits_hex(
+def bloom_positions(
     benchmark: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 13,
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
-) -> str:
-    """Build the benchmark's n-gram Bloom filter as a hex string (m_bits/4
-    chars; nibble i holds bits [4i, 4i+4), bit j of a nibble = position
-    4i+j). One explode + distinct over the benchmark; positions collect
-    driver-side (≤ m_bits ints)."""
+) -> list[int]:
+    """Set bit positions of the benchmark's n-gram Bloom filter. One
+    explode + distinct over the benchmark; positions collect driver-side
+    (≤ m_bits ints)."""
     bh = _hashed_shingle_rows(benchmark, id_col, text_col, n).select("h").distinct()
     pos_rows = (
         bh.select(
@@ -70,18 +72,65 @@ def bloom_bits_hex(
         .distinct()
         .collect()
     )
+    return [int(r.p) for r in pos_rows]
+
+
+def bloom_words(
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> list[int]:
+    """The filter as m_bits/64 signed 64-bit bitset words (word i holds
+    bits [64i, 64i+64); bit j of a word = position 64i+j) — the probe-side
+    representation: an ``array<long>`` column probes in O(1) per lookup,
+    where substring over a quarter-megabyte hex string is O(m) per probe
+    AND a >64 KiB plan literal breaks whole-stage codegen (measured 10×
+    end-to-end on the contract fixture)."""
+    words = [0] * (m_bits // 64)
+    for p in bloom_positions(benchmark, id_col, text_col, n, m_bits, k):
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_bits_hex(
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> str:
+    """The filter as a hex string (m_bits/4 chars; nibble i holds bits
+    [4i, 4i+4), bit j of a nibble = position 4i+j) — the portable/export
+    form (SQL-probeable on any engine); prefer :func:`bloom_words` for
+    Spark-side probing."""
     nibbles = bytearray(m_bits // 4)
-    for r in pos_rows:
-        p = int(r.p)
+    for p in bloom_positions(benchmark, id_col, text_col, n, m_bits, k):
         nibbles[p >> 2] |= 1 << (p & 3)
     return "".join(format(v, "x") for v in nibbles)
+
+
+def _hex_to_words(bits_hex: str) -> list[int]:
+    words = [0] * ((len(bits_hex) * 4) // 64)
+    for i, ch in enumerate(bits_hex):
+        v = int(ch, 16)
+        for j in range(4):
+            if v & (1 << j):
+                p = 4 * i + j
+                words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
 def bloom_member_expr(
     h: Column, bits_hex: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
 ) -> Column:
     """True iff every probe bit of gram-hash ``h`` is set in ``bits_hex``
-    (pure codegen: k substr + conv nibble lookups)."""
+    (pure codegen: k substr + conv nibble lookups). Hex-string form — use
+    only for SMALL filters or cross-engine SQL parity; the hot path is
+    :func:`bloom_member_words_expr` (O(1) probes vs O(m) substring)."""
     cond = F.lit(True)
     for pos in _probe_positions_expr(h, m_bits, k):
         nib = F.conv(
@@ -97,9 +146,31 @@ def bloom_member_expr(
     return cond
 
 
+# 64 single-bit masks as signed longs (bit 63 = Long.MIN_VALUE): shiftleft
+# needs a literal shift amount, so probes index this array instead
+_MASK64 = [
+    (1 << j) if j < 63 else ((1 << 63) - (1 << 64)) for j in range(64)
+]
+
+
+def bloom_member_words_expr(
+    h: Column, words: Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> Column:
+    """True iff every probe bit of gram-hash ``h`` is set in the bitset
+    ``words`` (an ``array<long>`` column, m_bits/64 elements): per probe,
+    one O(1) element_at + one AND — whole-stage-codegen throughout."""
+    mask64 = F.array(*[F.lit(m).cast("long") for m in _MASK64])
+    cond = F.lit(True)
+    for pos in _probe_positions_expr(h, m_bits, k):
+        word = F.try_element_at(words, F.shiftright(pos, 6).cast("int") + 1)
+        bit = F.try_element_at(mask64, pos.bitwiseAND(F.lit(63)).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
 def bloom_contamination_candidates(
     corpus: DataFrame,
-    bits_hex: str,
+    bits: str | list[int],
     id_col: str,
     text_col: str,
     n: int = 13,
@@ -108,10 +179,23 @@ def bloom_contamination_candidates(
 ) -> DataFrame:
     """Corpus ids with ≥1 gram passing the Bloom probe — a SUPERSET of the
     truly contaminated ids (no false negatives), typically a tiny slice of
-    the corpus. Narrow: explode → probe filter → distinct ids."""
+    the corpus. Narrow: explode → probe filter → distinct ids.
+
+    ``bits`` is the hex string (converted) or the bitset word list. The
+    bitmap travels as a ONE-ROW broadcast join, never as a plan literal:
+    a 2²⁰-bit filter is 256 KiB, past Java's 64 KiB string-constant limit,
+    so as a literal Janino cannot compile the stage and the ENTIRE
+    gram+md5+probe path silently drops out of whole-stage codegen; and it
+    probes as ``array<long>`` words (O(1) element_at per probe — substring
+    over a quarter-megabyte string re-scans it per probe, measured ~20× on
+    the contract fixture)."""
+    words = _hex_to_words(bits) if isinstance(bits, str) else bits
+    spark = corpus.sparkSession
+    words_df = spark.createDataFrame([(words,)], "_bloom_words array<long>")
     ch = _hashed_shingle_rows(corpus, id_col, text_col, n)
     return (
-        ch.where(bloom_member_expr(F.col("h"), F.lit(bits_hex), m_bits, k))
+        ch.join(F.broadcast(words_df))
+        .where(bloom_member_words_expr(F.col("h"), F.col("_bloom_words"), m_bits, k))
         .select(F.col("_id").alias(id_col))
         .distinct()
     )
@@ -133,9 +217,9 @@ def decontaminate_bloom(
     (result-identical to the exact tier, pinned by test and oracle)."""
     from .dedup import exact_ngram_collisions
 
-    bits = bloom_bits_hex(benchmark, id_col, text_col, n, m_bits, k)
+    words = bloom_words(benchmark, id_col, text_col, n, m_bits, k)
     cands = bloom_contamination_candidates(
-        corpus, bits, id_col, text_col, n, m_bits, k
+        corpus, words, id_col, text_col, n, m_bits, k
     )
     # the verify join deliberately does NOT broadcast the benchmark gram
     # set (that's the memory bound this tier exists for): candidates are a

@@ -539,6 +539,37 @@ def test_decontaminate_exact_ngram_collision_rule(spark, docs):
         assert 0 not in got and 100 not in got  # exact copy of doc 0 collides
 
 
+def test_cross_pairs_flagged_identical_to_split(spark, docs):
+    """The one-relation flagged variant (signatures built ONCE over the
+    union) returns exactly the pairs of the two-relation formulation."""
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.operators.dedup import (
+        cross_minhash_pairs,
+        cross_minhash_pairs_flagged,
+    )
+
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    bench = spark.createDataFrame(
+        [(900, rows[0]), (902, "totally novel benchmark prose here")],
+        "doc_id long, text string",
+    )
+    union = docs.select("doc_id", "text").withColumn(
+        "is_bench", F.lit(False)
+    ).unionByName(bench.withColumn("is_bench", F.lit(True)))
+    split = sorted(
+        tuple(r)
+        for r in cross_minhash_pairs(docs, bench, "doc_id", "text").collect()
+    )
+    flagged = sorted(
+        tuple(r)
+        for r in cross_minhash_pairs_flagged(
+            union, "doc_id", "text", "is_bench"
+        ).collect()
+    )
+    assert flagged == split and split  # non-empty: doc 0 is in the benchmark
+
+
 def test_decontaminate_removes_benchmark_near_dups(spark, docs):
     """Train/eval decontamination: corpus docs near-duplicating a benchmark
     doc are dropped; unrelated docs survive."""
