@@ -95,6 +95,13 @@ _PSL_HOST_SQL = (
     f"ELSE {_URL_HOST_SQL} END END"
 )
 
+# Mixture-weight fixture for mix_epoch_plan: integer parts for src0..15
+# (src16-19 stay corpus-only -> weight 0) plus one weighted source absent
+# from the corpus (srcX -> loud n_tokens=0 row).
+_MIX_WEIGHTS = {f"src{i}": (i % 7) + 1 for i in range(16)}
+_MIX_WEIGHTS["srcX"] = 3
+_MIX_BUDGET = 1_000_000
+
 
 # Plan memo for the correctness pass: several contract queries share one
 # expensive LOGICAL PLAN (the kg pipeline's fused scan + rerank aggregate
@@ -998,6 +1005,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cap_per_stratum(d, "domain", 3, "doc_id")
 
+    def mix_epoch_plan(spark, sf_dir):
+        # token-budget mixture planning (LLaMA/Dolma-style data mixing):
+        # per source, the budget share + whole epochs + remainder tokens a
+        # dataloader executes. All-integer arithmetic (weights are parts,
+        # shares are DIV) — one map-side-combined agg over the corpus
+        # joined to a dimension-sized broadcast weights relation.
+        # Fixture exercises corpus-only sources (weight 0) AND a weighted
+        # source missing from the corpus (loud n_tokens=0 row).
+        from biocurator_mapper_spark.operators.mixing import epoch_plan
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            "source",
+            token_count(F.col("text")).cast("long").alias("n_tok"),
+        )
+        return epoch_plan(d, "source", "n_tok", _MIX_WEIGHTS, _MIX_BUDGET)
+
+    def dedup_clusters_best(spark, sf_dir):
+        # quality-aware keep-one: each LSH duplicate cluster keeps its
+        # HIGHEST-quality member (distinct-token count as the integer
+        # score; ties -> min id) instead of the min id — what curation
+        # actually wants when recaptures differ in extraction quality
+        from biocurator_mapper_spark.operators.canonicalize import (
+            clusters_from_pairs_best,
+        )
+        from biocurator_mapper_spark.operators.dedup import tokens_expr
+
+        base = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.size(F.array_distinct(tokens_expr(F.col("text"))))
+            .cast("long")
+            .alias("q"),
+        )
+        return clusters_from_pairs_best(
+            base, _mh_pairs(spark, sf_dir), "doc_id", "q"
+        )
+
+    def sample_ccnet_buckets(spark, sf_dir):
+        # CCNet-style per-source quality tiers: ntile(3) within each
+        # source over (integer score desc, id asc) — bucket 1 = head.
+        # Deterministic order statistics, no thresholds to tune.
+        from biocurator_mapper_spark.operators.dedup import tokens_expr
+        from biocurator_mapper_spark.operators.sampling import quality_buckets
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            "source",
+            F.size(F.array_distinct(tokens_expr(F.col("text"))))
+            .cast("long")
+            .alias("q"),
+        )
+        return quality_buckets(d, "source", "q", "doc_id", n_buckets=3).select(
+            "doc_id",
+            "source",
+            "q",
+            F.col("quality_bucket").cast("bigint").alias("quality_bucket"),
+        )
+
     def dedup_contamination_report(spark, sf_dir):
         # release-audit view of the same relation: per contaminated
         # benchmark doc, how many corpus near-dups and the worst overlap
@@ -1606,60 +1671,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      always covers all of them — coverage never goes >2 rounds stale),
     #   3. the evergreens (green last round) in stable order.
     return {
-        # --- flagship + new this round -----------------------------------
+        # --- flagship + reshaped (r6 err -> scalarized) + new this round -
         "kg_triples": kg_triples,
         "text_bpe_ids": text_bpe_ids,
         "pack_materialize_ids": pack_materialize_ids,
-        "dedup_exactsubstr_spans": dedup_exactsubstr_spans,
-        "dedup_exactsubstr_cut": dedup_exactsubstr_cut,
-        "url_canonical": url_canonical,
         "url_registrable_psl": url_registrable_psl,
-        "dedup_url_latest": dedup_url_latest,
-        "sample_domain_cap": sample_domain_cap,
-        "dedup_exactsubstr_incremental": dedup_exactsubstr_incremental,
-        "sample_dsir_weights": sample_dsir_weights,
-        "dedup_decontaminate_bloom": dedup_decontaminate_bloom,
-        # --- no driver row in r5 (driver-green r4) -----------------------
-        "j6_mention_detect": j6_mention_detect,
-        "j5_topk_similarity": j5_topk_similarity,
-        "j5b_broadcast_matmul_topk": j5b_broadcast_matmul_topk,
-        "j1_broadcast_enrich": j1_broadcast_enrich,
-        "j3_antijoin_unprocessed": j3_antijoin_unprocessed,
-        "a1_stage_counters": a1_stage_counters,
-        "a2_throughput": a2_throughput,
-        "a3_batch_count": a3_batch_count,
-        "a4_reject_tally": a4_reject_tally,
-        "p11_json_parse": p11_json_parse,
-        "skew_salted_host_stats": skew_salted_host_stats,
-        "agg_pricing_summary": agg_pricing_summary,
-        "join_top_customers_per_nation": join_top_customers_per_nation,
-        "events_hourly_windows": events_hourly_windows,
-        "curation_pipeline": curation_pipeline,
-        "curation_funnel_report": curation_funnel_report,
-        "dedup_exact": dedup_exact,
-        "dedup_fingerprint": dedup_fingerprint,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_clusters": dedup_clusters,
-        "dedup_cross_pairs": dedup_cross_pairs,
-        "dedup_decontaminate": dedup_decontaminate,
-        "text_ngram_freq": text_ngram_freq,
-        "emb_near_dup_pairs": emb_near_dup_pairs,
-        "media_features_sha": media_features_sha,
-        # --- evergreens (r5 driver-green) --------------------------------
-        "text_bpe_real": text_bpe_real,
-        "pack_sequences": pack_sequences,
-        "sample_temperature": sample_temperature,
-        "dedup_paragraphs": dedup_paragraphs,
-        "train_shuffle_order": train_shuffle_order,
-        "profile_documents": profile_documents,
-        "dedup_incremental": dedup_incremental,
-        "pack_materialize": pack_materialize,
-        "dedup_contamination_report": dedup_contamination_report,
-        "sim_ann_ivf_indexed": sim_ann_ivf_indexed,
-        "dedup_substring_candidates": dedup_substring_candidates,
-        "dedup_substring_spans": dedup_substring_spans,
-        "dedup_simhash": dedup_simhash,
+        "mix_epoch_plan": mix_epoch_plan,
+        "dedup_clusters_best": dedup_clusters_best,
+        "sample_ccnet_buckets": sample_ccnet_buckets,
+        # --- no driver row in r6 (r5-green; r6 ∪ r7 must cover all) ------
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
         "sim_ann_ivf_topk": sim_ann_ivf_topk,
         "text_simhash": text_simhash,
@@ -1696,6 +1716,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_quality_filter": f2_quality_filter,
         "w2_keep_last_n": w2_keep_last_n,
         "w3_latest_record": w3_latest_record,
+        # --- evergreens (r6 driver-green), perf-fixed families first -----
+        "dedup_decontaminate_bloom": dedup_decontaminate_bloom,
+        "dedup_cross_pairs": dedup_cross_pairs,
+        "dedup_decontaminate": dedup_decontaminate,
+        "dedup_substring_candidates": dedup_substring_candidates,
+        "dedup_substring_spans": dedup_substring_spans,
+        "dedup_exactsubstr_spans": dedup_exactsubstr_spans,
+        "dedup_exactsubstr_cut": dedup_exactsubstr_cut,
+        "dedup_exactsubstr_incremental": dedup_exactsubstr_incremental,
+        "url_canonical": url_canonical,
+        "dedup_url_latest": dedup_url_latest,
+        "sample_domain_cap": sample_domain_cap,
+        "sample_dsir_weights": sample_dsir_weights,
+        "j6_mention_detect": j6_mention_detect,
+        "j5_topk_similarity": j5_topk_similarity,
+        "j5b_broadcast_matmul_topk": j5b_broadcast_matmul_topk,
+        "j1_broadcast_enrich": j1_broadcast_enrich,
+        "j3_antijoin_unprocessed": j3_antijoin_unprocessed,
+        "a1_stage_counters": a1_stage_counters,
+        "a2_throughput": a2_throughput,
+        "a3_batch_count": a3_batch_count,
+        "a4_reject_tally": a4_reject_tally,
+        "p11_json_parse": p11_json_parse,
+        "skew_salted_host_stats": skew_salted_host_stats,
+        "agg_pricing_summary": agg_pricing_summary,
+        "join_top_customers_per_nation": join_top_customers_per_nation,
+        "events_hourly_windows": events_hourly_windows,
+        "curation_pipeline": curation_pipeline,
+        "curation_funnel_report": curation_funnel_report,
+        "dedup_exact": dedup_exact,
+        "dedup_fingerprint": dedup_fingerprint,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_clusters": dedup_clusters,
+        "text_ngram_freq": text_ngram_freq,
+        "emb_near_dup_pairs": emb_near_dup_pairs,
+        "media_features_sha": media_features_sha,
+        "text_bpe_real": text_bpe_real,
+        "pack_sequences": pack_sequences,
+        "sample_temperature": sample_temperature,
+        "dedup_paragraphs": dedup_paragraphs,
+        "train_shuffle_order": train_shuffle_order,
+        "profile_documents": profile_documents,
+        "dedup_incremental": dedup_incremental,
+        "pack_materialize": pack_materialize,
+        "dedup_contamination_report": dedup_contamination_report,
+        "sim_ann_ivf_indexed": sim_ann_ivf_indexed,
+        "dedup_simhash": dedup_simhash,
     }
 
 
@@ -2555,6 +2623,53 @@ SELECT h.doc_id::BIGINT AS doc_id, h.host,
 FROM hl h LEFT JOIN agg a ON a.doc_id = h.doc_id"""
 
 
+_TOK_TWIN = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
+_DISTINCT_TOK_Q = (
+    "len(list_distinct(list_filter(string_split_regex(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '')))::BIGINT"
+)
+
+
+def _mix_epoch_sql() -> str:
+    """Oracle for mix_epoch_plan: same all-integer arithmetic (// is
+    DuckDB's integer division, Spark's DIV twin) over the shared weight
+    constants."""
+    wsum = sum(_MIX_WEIGHTS.values())
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+    return f"""
+WITH tok AS (
+  SELECT source, len({_TOK_TWIN})::BIGINT AS n_tok FROM documents
+), sums AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+  FROM tok GROUP BY source
+), w(source, weight) AS (SELECT * FROM (VALUES {vals})),
+j AS (
+  SELECT coalesce(s.source, w.source) AS source,
+         coalesce(s.n_docs, 0)::BIGINT AS n_docs,
+         coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+         coalesce(w.weight, 0)::BIGINT AS weight
+  FROM sums s FULL OUTER JOIN w ON s.source = w.source
+), t AS (
+  SELECT *, (({_MIX_BUDGET} * weight) // {wsum})::BIGINT AS target_tokens
+  FROM j
+)
+SELECT source, n_docs, n_tokens, weight, target_tokens,
+       (CASE WHEN n_tokens > 0 THEN target_tokens // n_tokens
+             ELSE 0 END)::BIGINT AS full_epochs,
+       (CASE WHEN n_tokens > 0 THEN target_tokens % n_tokens
+             ELSE target_tokens END)::BIGINT AS remainder_tokens
+FROM t"""
+
+
+def _ccnet_buckets_sql() -> str:
+    return f"""
+WITH q AS (SELECT doc_id, source, {_DISTINCT_TOK_Q} AS q FROM documents)
+SELECT doc_id::BIGINT AS doc_id, source, q,
+       ntile(3) OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC)::BIGINT
+         AS quality_bucket
+FROM q"""
+
+
 def _url_latest_sql() -> str:
     # struct-max over unique (ts, tb) == the row_number formulation
     return (
@@ -3199,6 +3314,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exactsubstr_cut": _exactsubstr_cut_sql(),
         "url_canonical": _url_canonical_sql(),
         "url_registrable_psl": _url_psl_sql(),
+        "mix_epoch_plan": _mix_epoch_sql(),
+        "sample_ccnet_buckets": _ccnet_buckets_sql(),
         "dedup_url_latest": _url_latest_sql(),
         "sample_domain_cap": _domain_cap_sql(),
         "dedup_exactsubstr_incremental": _exactsubstr_incremental_sql(),
@@ -3317,6 +3434,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, rep.representative_id,
                    d.doc_id <> rep.representative_id AS is_duplicate
             FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id
+        """,
+        "dedup_clusters_best": f"""
+            -- same closure as dedup_clusters, but the representative is
+            -- the member with max integer quality (ties -> min id)
+            WITH RECURSIVE {_minhash_pairs_ctes(16, 4, 0.5)},
+            bi AS (SELECT id_a AS a, id_b AS b FROM mh_pairs
+                   UNION SELECT id_b, id_a FROM mh_pairs),
+            reach(node, m) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT bi.a, r.m FROM reach r JOIN bi ON bi.b = r.node
+            ),
+            comp AS (SELECT node AS doc_id, min(m) AS comp FROM reach GROUP BY node),
+            qual AS (SELECT doc_id, {_DISTINCT_TOK_Q} AS q FROM documents),
+            win AS (
+              SELECT comp, doc_id AS rep FROM (
+                SELECT c.comp, c.doc_id,
+                       row_number() OVER (PARTITION BY c.comp
+                                          ORDER BY q.q DESC, c.doc_id ASC) AS rn
+                FROM comp c JOIN qual q USING (doc_id)
+              ) WHERE rn = 1
+            )
+            SELECT c.doc_id, w.rep AS representative_id,
+                   c.doc_id <> w.rep AS is_duplicate
+            FROM comp c JOIN win w USING (comp)
         """,
         "text_ngram_freq": f"""
             WITH {_shingle_cte(2)}

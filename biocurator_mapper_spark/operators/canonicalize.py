@@ -217,6 +217,45 @@ def clusters_from_pairs(
     )
 
 
+def clusters_from_pairs_best(
+    base: "DataFrame", pairs: "DataFrame", id_col: str, score_col: str
+) -> "DataFrame":
+    """``clusters_from_pairs`` with QUALITY-AWARE keep-one: the
+    representative of each duplicate cluster is the member with the
+    highest ``score_col`` (ties → min id) instead of the min id — what a
+    real curation pipeline wants when recaptures differ in quality (keep
+    the cleanest extraction of a page, not the one that crawled first).
+
+    ``score_col`` should be an INTEGER column: float scores make the
+    argmax order-dependent near ties across engines.
+
+    Physical shape: CC runs once (node-sized); scores join on the bare
+    id; the winner is two hash aggregations over the node-sized relation
+    (max score per component, then min id among the maxima — type-agnostic
+    where a negated-id struct max would constrain ids to numerics)."""
+    from pyspark.sql import functions as F
+
+    comp = clusters_from_pairs(base, pairs, id_col).select(
+        id_col, F.col("representative_id").alias("_comp")
+    )
+    scored = comp.join(base.select(id_col, score_col), id_col)
+    smax = scored.groupBy("_comp").agg(F.max(score_col).alias("_smax"))
+    winner = (
+        scored.join(smax, "_comp")
+        .where(F.col(score_col) == F.col("_smax"))
+        .groupBy("_comp")
+        .agg(F.min(id_col).alias("_rep"))
+    )
+    return (
+        comp.join(winner, "_comp")
+        .select(
+            id_col,
+            F.col("_rep").alias("representative_id"),
+        )
+        .withColumn("is_duplicate", F.col(id_col) != F.col("representative_id"))
+    )
+
+
 def canonical_mapping(
     terms: DataFrame,
     id_col: str = "term_id",

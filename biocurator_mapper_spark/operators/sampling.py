@@ -189,3 +189,33 @@ def cap_per_stratum(
         .where(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def quality_buckets(
+    df: DataFrame,
+    strata_col: str,
+    score_col: str,
+    id_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-stratum quality bucketing: within each stratum
+    (language / source), rows split into ``n_buckets`` equal-count tiers
+    by ``score_col`` — bucket 1 = best. CCNet keeps head+middle and drops
+    (or down-weights) the tail; the bucket column feeds that policy and
+    per-bucket mixture weights.
+
+    ``score_col`` should be an INTEGER quality score (float scores make
+    tile boundaries order-dependent across engines); ties break on id, so
+    the assignment is fully deterministic and resume-stable. HIGHER score
+    = better = lower bucket number.
+
+    Physical shape: one window (ntile) per stratum — the same per-stratum
+    sort CCNet itself pays (its buckets are perplexity-ORDER statistics,
+    not fixed thresholds). Strata are language×source shards, so the
+    partitions are many and bounded; a skewed mega-stratum is the caller's
+    cue to bucket on a coarser integer score histogram instead.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return df.withColumn("quality_bucket", F.ntile(n_buckets).over(w))
