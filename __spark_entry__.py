@@ -786,14 +786,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_minhash_lsh(spark, sf_dir):
         return _mh_pairs(spark, sf_dir)
 
-    def dedup_clusters(spark, sf_dir):
+    def _lsh_clusters(spark, sf_dir):
+        # connected-component cluster map over the shared LSH pair
+        # relation — CC iterates (jobs run at build), so the memo saves
+        # the whole closure for every consumer (dedup_clusters,
+        # dedup_clusters_best)
         from biocurator_mapper_spark.operators.canonicalize import (
             clusters_from_pairs,
         )
 
-        return clusters_from_pairs(
-            _docs(spark, sf_dir), _mh_pairs(spark, sf_dir), "doc_id"
-        )
+        def _build():
+            return clusters_from_pairs(
+                _docs(spark, sf_dir), _mh_pairs(spark, sf_dir), "doc_id"
+            )
+
+        return _memo_df(spark, ("lsh_clusters", sf_dir), _build, persist=True)
+
+    def dedup_clusters(spark, sf_dir):
+        return _lsh_clusters(spark, sf_dir)
 
     def _cross_pairs(spark, sf_dir):
         # cross-corpus LSH pair relation, shared by dedup_cross_pairs AND
@@ -1039,7 +1049,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("q"),
         )
         return clusters_from_pairs_best(
-            base, _mh_pairs(spark, sf_dir), "doc_id", "q"
+            base,
+            _mh_pairs(spark, sf_dir),
+            "doc_id",
+            "q",
+            components=_lsh_clusters(spark, sf_dir),
         )
 
     def sample_ccnet_buckets(spark, sf_dir):

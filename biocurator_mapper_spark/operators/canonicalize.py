@@ -218,7 +218,11 @@ def clusters_from_pairs(
 
 
 def clusters_from_pairs_best(
-    base: "DataFrame", pairs: "DataFrame", id_col: str, score_col: str
+    base: "DataFrame",
+    pairs: "DataFrame",
+    id_col: str,
+    score_col: str,
+    components: "DataFrame | None" = None,
 ) -> "DataFrame":
     """``clusters_from_pairs`` with QUALITY-AWARE keep-one: the
     representative of each duplicate cluster is the member with the
@@ -232,12 +236,17 @@ def clusters_from_pairs_best(
     Physical shape: CC runs once (node-sized); scores join on the bare
     id; the winner is two hash aggregations over the node-sized relation
     (max score per component, then min id among the maxima — type-agnostic
-    where a negated-id struct max would constrain ids to numerics)."""
+    where a negated-id struct max would constrain ids to numerics).
+    Pass ``components`` (a prior ``clusters_from_pairs`` result) to reuse
+    an already-materialized closure instead of re-iterating CC."""
     from pyspark.sql import functions as F
 
-    comp = clusters_from_pairs(base, pairs, id_col).select(
-        id_col, F.col("representative_id").alias("_comp")
+    cfp = (
+        components
+        if components is not None
+        else clusters_from_pairs(base, pairs, id_col)
     )
+    comp = cfp.select(id_col, F.col("representative_id").alias("_comp"))
     scored = comp.join(base.select(id_col, score_col), id_col)
     smax = scored.groupBy("_comp").agg(F.max(score_col).alias("_smax"))
     winner = (
