@@ -160,6 +160,27 @@ def cmd_curate(args) -> int:
             kept, args.id_col, args.text_col, threshold=args.lsh_threshold
         ).where(~F.col("is_duplicate")).select(args.id_col)
         kept = kept.join(reps, args.id_col, "left_semi")
+    if args.quality_buckets:
+        # CCNet bucket policy: per-stratum head/middle/tail tiers over the
+        # distinct-token integer score; keep only --keep-buckets (1 = best)
+        from .operators.dedup import tokens_expr
+        from .operators.sampling import quality_buckets
+
+        keepset = [int(x) for x in args.keep_buckets.split(",")]
+        scored = kept.withColumn(
+            "_q",
+            F.size(F.array_distinct(tokens_expr(F.col(args.text_col)))).cast(
+                "long"
+            ),
+        )
+        tiers = quality_buckets(
+            scored, args.bucket_strata_col, "_q", args.id_col,
+            n_buckets=args.quality_buckets,
+        )
+        kept = (
+            tiers.where(F.col("quality_bucket").isin(keepset))
+            .drop("_q", "quality_bucket")
+        )
     kept.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"rows_in": docs.count(), "funnel": funnel,
                       "rows_out": kept.count(), "out": args.out}))
@@ -187,6 +208,34 @@ def cmd_mix(args) -> int:
             }
         )
     )
+    return 0
+
+
+def cmd_plan(args) -> int:
+    """Token-budget mixture plan (LLaMA/Dolma arithmetic): per source, the
+    budget share, whole epochs, and remainder tokens a dataloader executes.
+    Integer-exact; one aggregation over the corpus. Prints the plan as
+    JSON; --out also writes it as parquet."""
+    from pyspark.sql import functions as F
+
+    from .functions.text import token_count
+    from .operators.mixing import epoch_plan
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs)
+    weights: dict[str, int] = {}
+    for part in args.weights.split(","):
+        s, _, w = part.partition("=")
+        weights[s] = int(w)
+    d = docs.select(
+        F.col(args.source_col).alias("source"),
+        token_count(F.col(args.text_col)).cast("long").alias("_tok"),
+    )
+    plan = epoch_plan(d, "source", "_tok", weights, args.token_budget)
+    rows = [r.asDict() for r in plan.orderBy("source").collect()]
+    if args.out:
+        plan.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"token_budget": args.token_budget, "plan": rows}))
     return 0
 
 
@@ -325,6 +374,9 @@ def main(argv: list[str] | None = None) -> int:
         "--exactsubstr-cut", action=argparse.BooleanOptionalAction, default=False
     )
     c.add_argument("--exactsubstr-len", type=int, default=50)
+    c.add_argument("--quality-buckets", type=int, default=None)
+    c.add_argument("--keep-buckets", default="1,2")
+    c.add_argument("--bucket-strata-col", default="source")
     c.set_defaults(fn=cmd_curate)
 
     m = sub.add_parser("mix", help="temperature-mixture sample → parquet")
@@ -335,6 +387,17 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--alpha", type=float, default=0.7)
     m.add_argument("--target-rows", type=int, required=True)
     m.set_defaults(fn=cmd_mix)
+
+    pl = sub.add_parser(
+        "plan", help="token-budget mixture plan (epochs per source) → JSON"
+    )
+    pl.add_argument("docs")
+    pl.add_argument("--weights", required=True, help="src=3,web=1,...")
+    pl.add_argument("--token-budget", type=int, required=True)
+    pl.add_argument("--source-col", default="source")
+    pl.add_argument("--text-col", default="text")
+    pl.add_argument("--out", default=None)
+    pl.set_defaults(fn=cmd_plan)
 
     p = sub.add_parser("pack", help="sequence-packing manifest → parquet")
     p.add_argument("docs")

@@ -190,6 +190,54 @@ def test_cli_mix_and_pack(spark, tmp_path, monkeypatch):
     assert rep["n_sequences"] == len(seqs)
 
 
+def test_cli_plan_and_quality_buckets(spark, tmp_path, monkeypatch):
+    """`bcms plan` prints the integer epoch plan; `bcms curate
+    --quality-buckets` applies the CCNet bucket policy."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import biocurator_mapper_spark.cli as cli
+
+    monkeypatch.setattr(cli, "_spark", lambda: spark)
+    src = str(tmp_path / "docs_plan")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(
+            ["plan", src, "--weights", "src0=3,src1=1,ghost=1",
+             "--token-budget", "100000"]
+        )
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    plan = {r["source"]: r for r in rep["plan"]}
+    assert plan["src0"]["target_tokens"] == 100000 * 3 // 5
+    assert plan["ghost"]["n_tokens"] == 0  # weighted-but-missing: loud row
+    # integer identity: target = epochs * n_tokens + remainder
+    for r in rep["plan"]:
+        if r["n_tokens"]:
+            assert (
+                r["full_epochs"] * r["n_tokens"] + r["remainder_tokens"]
+                == r["target_tokens"]
+            )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(
+            ["curate", src, "--out", str(tmp_path / "cur_qb"),
+             "--quality-buckets", "3", "--keep-buckets", "1,2"]
+        )
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    out = spark.read.parquet(str(tmp_path / "cur_qb"))
+    # tail tier dropped: strictly fewer rows than the gate survivors, and
+    # roughly two thirds of them (per-stratum ntile thirds)
+    assert 0 < rep["rows_out"] == out.count()
+    assert rep["rows_out"] <= rep["funnel"]["kept"]
+    assert rep["rows_out"] >= rep["funnel"]["kept"] // 2
+
+
 def test_cli_curate_paragraph_dedup_flag(spark, tmp_path, monkeypatch):
     """--paragraph-dedup rewrites text before the funnel: corpus-wide
     repeated paragraphs disappear from the curated output."""
