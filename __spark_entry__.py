@@ -1077,6 +1077,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("quality_bucket").cast("bigint").alias("quality_bucket"),
         )
 
+    def kg_pagerank(spark, sf_dir):
+        # link-graph PageRank (crawl-prioritization / page-quality
+        # signal) in fixed-point INTEGER arithmetic — 5 damped power
+        # iterations over the deterministic host graph; per iteration one
+        # edges⋈ranks join + one map-side-combined agg, ranks
+        # localCheckpoint'd (the CC plan-doubling lesson). Oracle unrolls
+        # the identical integer recurrence, bit-for-bit.
+        from biocurator_mapper_spark.operators.graph import pagerank_fixed
+
+        edges = _docs(spark, sf_dir).sparkSession.sql(
+            _LINK_EDGES_SQL.replace(
+                "FROM documents",
+                f"FROM parquet.`{sf_dir}/documents.parquet`",
+            )
+        )
+        return pagerank_fixed(edges, "src", "dst", iterations=5)
+
+    def url_blocklist_filter(spark, sf_dir):
+        # the policy/compliance gate: registrable domains on the
+        # blocklist dropped via a broadcast anti-join (zero shuffles)
+        from biocurator_mapper_spark.operators.urls import (
+            filter_blocked_domains,
+            registrable_domain,
+            url_parts,
+        )
+
+        cap = _docs(spark, sf_dir).select(
+            "doc_id", F.expr(_URL_RAW_EXPR).alias("url_raw")
+        )
+        d = cap.select(
+            "doc_id",
+            registrable_domain(url_parts(F.col("url_raw"))["host"]).alias(
+                "domain"
+            ),
+        )
+        return filter_blocked_domains(d, "domain", list(_BLOCKED_DOMAINS))
+
     def dedup_contamination_report(spark, sf_dir):
         # release-audit view of the same relation: per contaminated
         # benchmark doc, how many corpus near-dups and the worst overlap
@@ -1693,6 +1730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_epoch_plan": mix_epoch_plan,
         "dedup_clusters_best": dedup_clusters_best,
         "sample_ccnet_buckets": sample_ccnet_buckets,
+        "kg_pagerank": kg_pagerank,
+        "url_blocklist_filter": url_blocklist_filter,
         # --- no driver row in r6 (r5-green; r6 ∪ r7 must cover all) ------
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
         "sim_ann_ivf_topk": sim_ann_ivf_topk,
@@ -2684,6 +2723,60 @@ SELECT doc_id::BIGINT AS doc_id, source, q,
 FROM q"""
 
 
+# Deterministic host-level link-graph fixture: two out-edges per document
+# between 40 'd<k>' nodes — CASE/||/CAST-only SQL, parses identically in
+# both engines (the usual fixture rule).
+_LINK_EDGES_SQL = (
+    "SELECT 'd' || CAST(doc_id % 40 AS STRING) AS src, "
+    "'d' || CAST((doc_id * 7 + 3) % 40 AS STRING) AS dst FROM documents "
+    "UNION ALL "
+    "SELECT 'd' || CAST(doc_id % 40 AS STRING) AS src, "
+    "'d' || CAST((doc_id * 13 + 1) % 40 AS STRING) AS dst FROM documents"
+)
+
+
+def _pagerank_sql(iters: int = 5, damping: int = 85) -> str:
+    """Oracle for kg_pagerank: the SAME fixed-point integer recurrence
+    unrolled as chained CTEs (DuckDB ``//`` ≡ Spark ``DIV`` on BIGINTs, so
+    every rank matches bit-for-bit — no float tolerance games)."""
+    from biocurator_mapper_spark.operators.graph import PAGERANK_SCALE
+
+    base = PAGERANK_SCALE * (100 - damping) // 100
+    sql = f"""
+WITH e AS ({_LINK_EDGES_SQL}),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, {PAGERANK_SCALE}::BIGINT AS rank FROM nodes)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+c{i} AS (
+  SELECT e.dst AS node, sum(r.rank // d.deg)::BIGINT AS cin
+  FROM e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         ({base} + ({damping} * coalesce(c.cin, 0)) // 100)::BIGINT AS rank
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)"""
+        prev = f"r{i}"
+    return sql + f"\nSELECT node, rank FROM {prev}"
+
+
+_BLOCKED_DOMAINS = ("site0.com", "site13.co.uk", "site2.org")
+
+
+def _url_blocklist_sql() -> str:
+    vals = ", ".join(f"('{d}')" for d in _BLOCKED_DOMAINS)
+    return (
+        _url_norm_cte()
+        + f"""
+SELECT doc_id::BIGINT AS doc_id, domain FROM normed
+WHERE domain NOT IN (SELECT b FROM (VALUES {vals}) AS t(b))"""
+    )
+
+
 def _url_latest_sql() -> str:
     # struct-max over unique (ts, tb) == the row_number formulation
     return (
@@ -3330,6 +3423,8 @@ def oracle_sql() -> dict[str, str]:
         "url_registrable_psl": _url_psl_sql(),
         "mix_epoch_plan": _mix_epoch_sql(),
         "sample_ccnet_buckets": _ccnet_buckets_sql(),
+        "kg_pagerank": _pagerank_sql(),
+        "url_blocklist_filter": _url_blocklist_sql(),
         "dedup_url_latest": _url_latest_sql(),
         "sample_domain_cap": _domain_cap_sql(),
         "dedup_exactsubstr_incremental": _exactsubstr_incremental_sql(),

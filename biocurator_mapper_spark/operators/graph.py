@@ -87,3 +87,81 @@ def degree_stats(triples: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_triples"),
         F.countDistinct("subj").alias("n_subjects"),
     )
+
+
+PAGERANK_SCALE = 1_000_000_000_000  # fixed-point: 1.0 == 10^12
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` damped power-iteration steps —
+    the crawl-prioritization / page-quality signal (host- or page-level
+    link graph), in FIXED-POINT INTEGER arithmetic so any engine
+    reproduces every rank bit-for-bit.
+
+    Ranks are BIGINTs scaled by ``PAGERANK_SCALE`` (1.0 == 10¹²). One
+    step, with d = damping_pct/100 kept rational:
+
+        rank'(v) = SCALE·(100−d)/100  +  d · Σ_{u→v} (rank(u) DIV deg(u)) DIV 100
+
+    Integer DIV truncates exactly the same everywhere (Spark ``DIV`` ≡
+    DuckDB ``//``), so there is no float drift to reconcile — the oracle
+    unrolls the same recurrence. Dangling nodes (no out-edges) keep their
+    damped base mass and leak the rest — the classic simplification,
+    documented rather than silently redistributed; at web scale the
+    dangling-mass correction is a separate scalar aggregate a caller can
+    add.
+
+    Physical shape (100 TB): per iteration, one join of the edge relation
+    against the node-sized rank relation on src (both hash-partitioned on
+    the same key — the exchange on edges is reused across iterations once
+    AQE materializes it) + one hash aggregate on dst with map-side
+    partials. Ranks ``localCheckpoint`` each iteration: the plan would
+    otherwise double per step and overflow the analyzer (the connected-
+    components lesson).
+
+    Self-loops contribute to their own rank; duplicate edges count with
+    multiplicity (multigraph semantics — dedup first if unwanted).
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    base = (PAGERANK_SCALE * (100 - damping_pct)) // 100
+    ranks = nodes.select("node", F.lit(PAGERANK_SCALE).cast("long").alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "_src"), "_src")
+            .join(deg, "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank DIV _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"CAST(({damping_pct} * coalesce(_in, 0)) DIV 100 AS BIGINT)"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

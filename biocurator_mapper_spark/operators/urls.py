@@ -182,3 +182,39 @@ def dedup_url_latest(
         F.col("_best._tb").alias(tiebreak_col),
         *[F.col(f"_best.{c}").alias(c) for c in payload],
     )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    domain_col: str,
+    blocklist: DataFrame | list[str],
+    include_subdomains: bool = False,
+) -> DataFrame:
+    """Drop rows whose ``domain_col`` is on the blocklist — the
+    policy/compliance gate every crawl pipeline runs (spam lists, opt-out
+    registries, licensing exclusions). A left ANTI BroadcastHashJoin on
+    the lowercased domain: row-preserving for survivors, zero shuffles,
+    the blocklist (thousands to low millions of rows) broadcasts.
+
+    ``include_subdomains=True`` also drops any host UNDER a blocked
+    domain (``bad.com`` blocks ``a.bad.com``) by matching the host's
+    dot-suffix — pass the registrable domain as ``domain_col`` instead
+    when the PSL tier already grouped hosts.
+    """
+    spark = df.sparkSession
+    if isinstance(blocklist, list):
+        bdf = spark.createDataFrame(
+            [(d.lower(),) for d in blocklist], "_blocked string"
+        )
+    else:
+        bcol = blocklist.columns[0]
+        bdf = blocklist.select(F.lower(F.col(bcol)).alias("_blocked"))
+    d = F.lower(F.col(domain_col))
+    if not include_subdomains:
+        return df.join(
+            F.broadcast(bdf), d == F.col("_blocked"), "left_anti"
+        )
+    cond = (d == F.col("_blocked")) | d.endswith(
+        F.concat(F.lit("."), F.col("_blocked"))
+    )
+    return df.join(F.broadcast(bdf), cond, "left_anti")

@@ -84,3 +84,78 @@ def test_quality_buckets_deterministic_tiers(spark):
     assert [got[i] for i in range(6)] == [1, 1, 2, 2, 3, 3]
     # source t: 2 rows into 3 tiles -> buckets 1 and 2, best (q=2) first
     assert got[11] == 1 and got[10] == 2
+
+
+def _pagerank_py(edges, iters=5, damping=85, scale=10**12):
+    """Reference implementation of the fixed-point recurrence."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: scale for n in nodes}
+    base = scale * (100 - damping) // 100
+    for _ in range(iters):
+        cin = {n: 0 for n in nodes}
+        for s, d in edges:
+            cin[d] += rank[s] // deg[s]
+        rank = {n: base + (damping * cin[n]) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_fixed_matches_reference(spark):
+    from biocurator_mapper_spark.operators.graph import pagerank_fixed
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "c"),  # duplicate edge: multigraph semantics
+        ("e", "e"),              # self-loop
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank_fixed(df, iterations=5).collect()}
+    assert got == _pagerank_py(edges)
+    # hub 'c' outranks the dangling-ish leaf 'b'
+    assert got["c"] > got["b"]
+
+
+def test_pagerank_deep_iteration_plan_stable(spark):
+    # 12 iterations: without per-iteration localCheckpoint the logical
+    # plan doubles per step and the analyzer blows up around round 8
+    from biocurator_mapper_spark.operators.graph import pagerank_fixed
+
+    df = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 3 + 1) % 7}") for i in range(7)],
+        "src string, dst string",
+    )
+    got = pagerank_fixed(df, iterations=12).collect()
+    assert len(got) == 7
+    py = _pagerank_py([(f"n{i}", f"n{(i * 3 + 1) % 7}") for i in range(7)], iters=12)
+    assert {r.node: r.rank for r in got} == py
+
+
+def test_filter_blocked_domains_modes(spark):
+    from biocurator_mapper_spark.operators.urls import filter_blocked_domains
+
+    d = spark.createDataFrame(
+        [(1, "bad.com"), (2, "a.bad.com"), (3, "notbad.com"), (4, "GOOD.org"),
+         (5, "BAD.COM")],
+        "doc_id long, host string",
+    )
+    exact = {r.doc_id for r in filter_blocked_domains(d, "host", ["bad.com"]).collect()}
+    assert exact == {2, 3, 4}  # case-insensitive exact match only
+    subs = {
+        r.doc_id
+        for r in filter_blocked_domains(
+            d, "host", ["bad.com"], include_subdomains=True
+        ).collect()
+    }
+    assert subs == {3, 4}  # a.bad.com dropped too; notbad.com survives
+
+
+def test_filter_blocked_domains_plan_broadcast_anti(spark):
+    from biocurator_mapper_spark.operators.urls import filter_blocked_domains
+
+    d = spark.createDataFrame([(1, "x.com")], "doc_id long, host string")
+    out = filter_blocked_domains(d, "host", ["bad.com"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan
+    assert "hashpartitioning" not in plan
