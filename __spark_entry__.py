@@ -1114,6 +1114,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return filter_blocked_domains(d, "domain", list(_BLOCKED_DOMAINS))
 
+    def url_snapshot_diff(spark, sf_dir):
+        # incremental-crawl primitive: classify every canonical page
+        # across two synthetic snapshots (old = docs < 400 with their
+        # fingerprint; new = docs ≥ 100, every 7th with mutated content)
+        # as added / removed / changed / unchanged — one full-outer join,
+        # downstream tiers re-run on added+changed only
+        from biocurator_mapper_spark.operators.urls import crawl_snapshot_diff
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.md5(F.col("text")).alias("dg"),
+        )
+        old = d.where(F.col("doc_id") < 400)
+        new = d.where(F.col("doc_id") >= 100).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.md5(F.concat(F.col("dg"), F.lit("v2"))))
+            .otherwise(F.col("dg"))
+            .alias("dg"),
+        )
+        return crawl_snapshot_diff(old, new, "doc_id", "dg")
+
     def dedup_contamination_report(spark, sf_dir):
         # release-audit view of the same relation: per contaminated
         # benchmark doc, how many corpus near-dups and the worst overlap
@@ -1732,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_ccnet_buckets": sample_ccnet_buckets,
         "kg_pagerank": kg_pagerank,
         "url_blocklist_filter": url_blocklist_filter,
+        "url_snapshot_diff": url_snapshot_diff,
         # --- no driver row in r6 (r5-green; r6 ∪ r7 must cover all) ------
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
         "sim_ann_ivf_topk": sim_ann_ivf_topk,
@@ -3425,6 +3447,20 @@ def oracle_sql() -> dict[str, str]:
         "sample_ccnet_buckets": _ccnet_buckets_sql(),
         "kg_pagerank": _pagerank_sql(),
         "url_blocklist_filter": _url_blocklist_sql(),
+        "url_snapshot_diff": """
+            WITH d AS (SELECT doc_id, md5(text) AS dg FROM documents),
+            o AS (SELECT doc_id, dg FROM d WHERE doc_id < 400),
+            n AS (SELECT doc_id,
+                         CASE WHEN doc_id % 7 = 0 THEN md5(dg || 'v2')
+                              ELSE dg END AS dg
+                  FROM d WHERE doc_id >= 100)
+            SELECT coalesce(o.doc_id, n.doc_id)::BIGINT AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.dg = n.dg THEN 'unchanged'
+                        ELSE 'changed' END AS change
+            FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+        """,
         "dedup_url_latest": _url_latest_sql(),
         "sample_domain_cap": _domain_cap_sql(),
         "dedup_exactsubstr_incremental": _exactsubstr_incremental_sql(),

@@ -218,3 +218,37 @@ def filter_blocked_domains(
         F.concat(F.lit("."), F.col("_blocked"))
     )
     return df.join(F.broadcast(bdf), cond, "left_anti")
+
+
+def crawl_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    digest_col: str,
+) -> DataFrame:
+    """(key, change) classifying every key across two crawl snapshots:
+    'added' (new only), 'removed' (old only), 'changed' (both, different
+    content digest), 'unchanged'. The incremental-processing primitive —
+    downstream tiers (extract, dedup state, embeddings) re-run on
+    added+changed only, which for a mature crawl is a few percent of the
+    table.
+
+    One full-outer hash join on the key — both sides shuffle once on the
+    same key, so snapshots co-bucketed by ``key_col`` (sources/bucketed)
+    diff with NO exchange at all. Keys must be unique per snapshot (the
+    latest-capture view upstream guarantees it).
+    """
+    o = old.select(
+        F.col(key_col).alias("_k"), F.col(digest_col).alias("_od")
+    )
+    n = new.select(
+        F.col(key_col).alias("_k"), F.col(digest_col).alias("_nd")
+    )
+    j = o.join(n, "_k", "full_outer")
+    change = (
+        F.when(F.col("_od").isNull(), F.lit("added"))
+        .when(F.col("_nd").isNull(), F.lit("removed"))
+        .when(F.col("_od").eqNullSafe(F.col("_nd")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col("_k").alias(key_col), change.alias("change"))

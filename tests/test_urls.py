@@ -127,3 +127,16 @@ def test_no_python_in_plan_and_mapside_partial_agg(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_crawl_snapshot_diff_classification(spark):
+    from biocurator_mapper_spark.operators.urls import crawl_snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, dg string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], "k long, dg string"
+    )
+    got = {r.k: r.change for r in crawl_snapshot_diff(old, new, "k", "dg").collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
