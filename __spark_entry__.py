@@ -1223,6 +1223,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cosine", "certainty",
         )
 
+    def sim_ann_q8_topk(spark, sf_dir):
+        # int8-quantized top-k (the 4×-smaller corpus representation):
+        # integer dot product — exact in ANY summation order, so the
+        # expression path, the numpy-matmul scale path, and the DuckDB
+        # oracle can never diverge on the fold; the only floats are two
+        # per-vector maxes and one rescale multiply
+        from biocurator_mapper_spark.operators.similarity import q8_topk
+
+        emb = _read(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        c = emb.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("c_embedding"),
+        )
+        out = q8_topk(q, c, k=5)
+        return out.select(
+            "query_id", "corpus_id", F.col("rank").cast("bigint").alias("rank"),
+            "score",
+        )
+
     def sim_ann_ivf_topk(spark, sf_dir):
         # IVF coarse-quantizer ANN — deterministic md5-sampled training +
         # integer-quantized assignment; the oracle retrains identical
@@ -1754,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": kg_pagerank,
         "url_blocklist_filter": url_blocklist_filter,
         "url_snapshot_diff": url_snapshot_diff,
+        "sim_ann_q8_topk": sim_ann_q8_topk,
         # --- no driver row in r6 (r5-green; r6 ∪ r7 must cover all) ------
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
         "sim_ann_ivf_topk": sim_ann_ivf_topk,
@@ -3295,6 +3319,35 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, corpus_id, rank, cosine FROM ranked WHERE rank <= 5
+        """,
+        "sim_ann_q8_topk": """
+            -- the same int8 symmetric quantization: q_i = floor(x·127/max|x| + .5),
+            -- integer dot (order-independent), ((ma·mb)·dot)/127² rescale
+            WITH qz AS (
+              SELECT vec_id,
+                     list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m,
+                     list_transform(embedding, x -> x::DOUBLE) AS d
+              FROM embeddings
+            ),
+            qv AS (
+              SELECT vec_id, m,
+                     CASE WHEN m > 0
+                          THEN list_transform(d, x -> floor(x * 127.0 / m + 0.5)::BIGINT)
+                          ELSE list_transform(d, x -> 0::BIGINT) END AS q
+              FROM qz
+            ),
+            scored AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+                     ((a.m * b.m) * list_sum(list_transform(range(1, 65),
+                        i -> a.q[i] * b.q[i]))::DOUBLE) / 16129.0 AS score
+              FROM qv a, qv b WHERE a.vec_id < 10
+            )
+            SELECT query_id, corpus_id, rank, score FROM (
+              SELECT query_id, corpus_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, corpus_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "j5b_broadcast_matmul_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),

@@ -342,3 +342,67 @@ def test_merge_ivf_index_equals_rebuild_same_quantizer(spark, tmp_path):
     # idempotent replay: merging the same batch again changes nothing
     merge_ivf_index(cat_m, "idx", b)
     assert sorted(map(key, cat_m.read("idx_postings").collect())) == want
+
+
+def test_q8_topk_matmul_path_identical(spark):
+    """broadcast_q8_topk (int8 matmul scale path) returns the IDENTICAL
+    relation as the expression-form q8_topk — the integer dot product is
+    exact in any summation order, so the two paths cannot drift."""
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.operators.similarity import (
+        broadcast_q8_topk,
+        q8_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_embedding")
+    )
+    a = sorted(tuple(r) for r in q8_topk(q, c, k=5).collect())
+    b = sorted(tuple(r) for r in broadcast_q8_topk(q, c, k=5).collect())
+    assert a == b and len(a) == 40
+
+
+def test_q8_quantize_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.operators.similarity import q8_quantize_expr
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0],), ([1.0, -1.0],), ([0.5, -0.25],)],
+        "e array<float>",
+    )
+    got = [
+        (r.q.maxabs, list(r.q.q))
+        for r in df.select(q8_quantize_expr(F.col("e")).alias("q")).collect()
+    ]
+    assert got[0] == (0.0, [0, 0])  # zero vector -> all-zero q, no div-by-0
+    assert got[1] == (1.0, [127, -127])
+    # 0.5 -> 127, -0.25 -> floor(-63.5+0.5) = -63 (round-half-up)
+    assert got[2] == (0.5, [127, -63])
+
+
+def test_q8_ranking_tracks_cosine_for_normalized_vectors(spark):
+    # for L2-normalized inputs the q8 ranking equals the exact cosine
+    # ranking except quantization near-ties; on the synthetic fixture the
+    # top-1 neighbor (itself, score ~1) must always agree
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.operators.similarity import q8_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_embedding")
+    )
+    top1 = {
+        r.query_id: r.corpus_id
+        for r in q8_topk(q, c, k=1).collect()
+    }
+    assert top1 == {i: i for i in range(8)}  # self is always the nearest
