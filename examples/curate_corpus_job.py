@@ -13,7 +13,11 @@ The full pre-training data funnel, composed from the engine's operators:
 0. optional capture-level dedup (``--url-col``): canonicalize the crawl
    URL and keep the latest capture per canonical page — the crawl table's
    snapshot view, BEFORE any content-level work multiplies by the
-   recapture factor (`operators.urls.dedup_url_latest`);
+   recapture factor (`operators.urls.dedup_url_latest`); then an optional
+   domain BLOCKLIST gate (``--blocklist``): PSL registrable domains via
+   zero-shuffle broadcast joins, blocked domains (and their subdomains)
+   dropped with a broadcast anti-join (`operators.psl`,
+   `operators.urls.filter_blocked_domains`);
 1. optional corpus-wide paragraph dedup (CCNet ordering — boilerplate out
    BEFORE quality signals; `operators.dedup.paragraph_dedup`), then an
    optional ExactSubstr cut (``--exactsubstr-cut``): duplicated >=L-char
@@ -67,6 +71,9 @@ def main() -> int:
                     help="ExactSubstr: cut duplicated >=L-char normalized "
                          "runs (first occurrence kept) before the gates")
     ap.add_argument("--exactsubstr-len", type=int, default=50)
+    ap.add_argument("--blocklist", default=None,
+                    help="comma list of blocked registrable domains "
+                         "(requires --url-col; PSL domains, subdomains too)")
     ap.add_argument("--mix-alpha", type=float, default=None,
                     help="temperature mixture sampling exponent")
     ap.add_argument("--mix-target", type=int, default=None,
@@ -107,6 +114,30 @@ def main() -> int:
             id_col,
         ).select(id_col)
         docs = docs.join(winners, id_col, "left_semi")
+        n_after_url = docs.count()
+    else:
+        n_after_url = None
+
+    # -0.5 optional domain blocklist (policy/compliance gate): PSL
+    # registrable domain off the crawl URL, broadcast anti-join, subdomains
+    # of a blocked domain drop too
+    if args.blocklist:
+        if not args.url_col:
+            raise SystemExit("--blocklist requires --url-col")
+        from biocurator_mapper_spark.operators.psl import with_psl_domain
+        from biocurator_mapper_spark.operators.urls import (
+            filter_blocked_domains,
+            url_parts,
+        )
+
+        hosts = docs.withColumn("_host", url_parts(F.col(args.url_col))["host"])
+        dom = with_psl_domain(hosts, "_host", "_dom")
+        docs = filter_blocked_domains(
+            dom, "_dom", args.blocklist.split(","), include_subdomains=True
+        ).drop("_host", "_dom")
+        n_after_block = docs.count()
+    else:
+        n_after_block = None
 
     # 0. optional paragraph dedup (CCNet ordering: boilerplate out first)
     if args.paragraph_dedup:
@@ -226,7 +257,8 @@ def main() -> int:
         json.dumps(
             {
                 "rows_in": n_in,
-                "after_url_dedup": docs.count() if args.url_col else None,
+                "after_url_dedup": n_after_url,
+                "after_blocklist": n_after_block,
                 "funnel": dict(funnel),
                 "after_gates": n_after_gates,
                 "after_near_dup": n_after_neardup,
