@@ -3,11 +3,15 @@
 Media travel as opaque ``binary`` columns + a typed metadata struct; all
 per-item work runs in Arrow-batched ``mapInPandas`` stages so the Spark-side
 contract — schema, batch shape, partition sizing — is real and tested even
-though the actual codecs (PIL/ffmpeg/torchaudio) are absent in this
-container. Decoding is stubbed behind ``MEDIA_DECODERS``: the default
-``deterministic-fake`` decoder derives features from a sha256 of the bytes
-(stable, content-sensitive); registering a real decoder is a one-line swap
-and changes no plan shape.
+though heavyweight codecs (ffmpeg/torchaudio) are absent in this
+container. Decoding goes through the ``MEDIA_DECODERS`` registry: the
+default ``deterministic-fake`` decoder derives features from a sha256 of
+the bytes (stable, content-sensitive); ``real`` is a REAL PIL image
+decoder when PIL is importable; ``wav`` is a REAL audio decoder for
+RIFF/WAV PCM built on the stdlib ``wave`` module + numpy (always
+available — energy envelope + spectrum bands). Registering another
+decoder is a one-line swap and changes no plan shape; only video decode
+remains stubbed (ffmpeg territory).
 
 Scale notes: media rows are large — pipelines should set
 ``spark.sql.files.maxPartitionBytes`` low enough that a partition of blobs
@@ -86,11 +90,78 @@ def real_decoder_available() -> bool:
     return importlib.util.find_spec("PIL") is not None
 
 
+def _wav_decode(blob: bytes) -> np.ndarray:
+    """REAL audio decode for RIFF/WAV PCM — stdlib ``wave`` + numpy, no
+    external codec. Output contract matches every other decoder (64
+    float32 features) so the registry swap changes no schema or plan:
+    32 RMS-energy envelope bins (time) ∥ 32 averaged log-magnitude
+    spectrum bands (frequency). 8/16/32-bit PCM, any channel count
+    (downmixed to mono); 24-bit and compressed formats raise
+    informatively — that's ffmpeg territory."""
+    import io
+    import wave
+
+    if blob is None:
+        return np.zeros(64, dtype=np.float32)
+    with wave.open(io.BytesIO(blob)) as w:
+        n, ch, sw = w.getnframes(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(n)
+    if sw == 1:  # WAV 8-bit is UNSIGNED, offset-128
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"{8 * sw}-bit PCM not supported by the stdlib decoder; "
+            "register an ffmpeg-backed decoder for exotic widths"
+        )
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    if x.size == 0:
+        return np.zeros(64, dtype=np.float32)
+    peak = np.abs(x).max()
+    x = x / (peak if peak > 0 else 1.0)
+    # time half: 32 RMS-energy envelope bins
+    edges = np.linspace(0, x.size, 33).astype(int)
+    env = np.array(
+        [
+            np.sqrt(np.mean(x[a:b] ** 2)) if b > a else 0.0
+            for a, b in zip(edges[:-1], edges[1:])
+        ]
+    )
+    # frequency half: 32 averaged log-magnitude bands of the full rFFT
+    spec = np.abs(np.fft.rfft(x))
+    sedges = np.linspace(0, spec.size, 33).astype(int)
+    bands = np.array(
+        [
+            np.log1p(spec[a:b].mean()) if b > a else 0.0
+            for a, b in zip(sedges[:-1], sedges[1:])
+        ]
+    )
+    return np.concatenate([env, bands]).astype(np.float32)
+
+
+def wav_duration_ms(blob: bytes) -> int | None:
+    """Duration of a WAV blob in ms (header-only — no sample read)."""
+    import io
+    import wave
+
+    if blob is None:
+        return None
+    with wave.open(io.BytesIO(blob)) as w:
+        fr = w.getframerate()
+        return int(w.getnframes() * 1000 / fr) if fr else None
+
+
 MEDIA_DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "deterministic-fake": _fake_decode,
     # gated at import: containers with PIL get a REAL image decoder under
     # the same registry key; without it the slot raises with instructions
     "real": _pil_decode if real_decoder_available() else _real_decode_unavailable,
+    # REAL audio: stdlib-only, always available
+    "wav": _wav_decode,
 }
 
 
