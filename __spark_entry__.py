@@ -1466,6 +1466,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def text_bpe_roundtrip(spark, sf_dir):
+        # decode ∘ encode == pre-tokenize concat, corpus-wide: the decoder
+        # is PURE codegen (symbol-table lookup per id), so this one query
+        # pins the whole encode→decode loop against DuckDB's independent
+        # pre-tokenization — any encoder id drift or decoder table bug
+        # breaks the string equality
+        from biocurator_mapper_spark.functions.bpe import (
+            bpe_decode_expr,
+            bpe_encode_expr,
+        )
+        from biocurator_mapper_spark.functions.bpe_merges import MERGES
+
+        return (
+            _docs(spark, sf_dir)
+            .withColumn("_ids", bpe_encode_expr(F.col("text"), MERGES))
+            .select(
+                "doc_id",
+                bpe_decode_expr(F.col("_ids"), MERGES).alias("decoded"),
+            )
+        )
+
     def pack_materialize_ids(spark, sf_dir):
         # ctx-length windows of REAL BPE ids — the tensor-ready training
         # input: encode (Arrow stage), then materialize 256-id sequences of
@@ -1778,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist_filter": url_blocklist_filter,
         "url_snapshot_diff": url_snapshot_diff,
         "sim_ann_q8_topk": sim_ann_q8_topk,
+        "text_bpe_roundtrip": text_bpe_roundtrip,
         # --- no driver row in r6 (r5-green; r6 ∪ r7 must cover all) ------
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
         "sim_ann_ivf_topk": sim_ann_ivf_topk,
@@ -2722,6 +2744,12 @@ SELECT h.doc_id::BIGINT AS doc_id, h.host,
 FROM hl h LEFT JOIN agg a ON a.doc_id = h.doc_id"""
 
 
+from biocurator_mapper_spark.functions.text import (  # noqa: E402
+    BPE_TOKEN_RE as _BPE_RE,
+)
+
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
+
 _TOK_TWIN = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
 _DISTINCT_TOK_Q = (
     "len(list_distinct(list_filter(string_split_regex(lower(text), "
@@ -3498,6 +3526,15 @@ def oracle_sql() -> dict[str, str]:
         "url_registrable_psl": _url_psl_sql(),
         "mix_epoch_plan": _mix_epoch_sql(),
         "sample_ccnet_buckets": _ccnet_buckets_sql(),
+        # decode(encode(text)) must equal the pre-tokenizer's piece concat
+        # (corpus is printable ASCII, so no <unk>/U+FFFD asymmetry); DuckDB
+        # re-derives the expected string from the shared regex alone —
+        # fully independent of the encoder/decoder implementations
+        "text_bpe_roundtrip": (
+            "SELECT doc_id, array_to_string(regexp_extract_all("
+            f"coalesce(text, ''), '{_BPE_RE_SQL}'), '') AS decoded "
+            "FROM documents"
+        ),
         "kg_pagerank": _pagerank_sql(),
         "url_blocklist_filter": _url_blocklist_sql(),
         "url_snapshot_diff": """

@@ -328,3 +328,36 @@ def bpe_encode_expr(text: Column, merges: Sequence[Pair]) -> Column:
         F.coalesce(text, F.lit("")), F.lit(BPE_TOKEN_RE), 0
     )
     return _encode(pieces)
+
+
+def bpe_decode_expr(ids: Column, merges: Sequence[Pair]) -> Column:
+    """Inverse of :func:`bpe_encode_expr` up to pre-tokenization: vocab ids
+    back to text via one symbol-table lookup per id — PURE codegen, no
+    Python at all, in contrast to the encoder whose merge loop is
+    inherently per-piece work. The table is a LITERAL array, so
+    ConstantFolding collapses it to one constant (no let_expr binding —
+    wrapping ``ids`` in an outer lambda would also break when ``ids`` is
+    the encoder column expression itself: Spark forbids Python UDFs
+    inside higher-order-function lambdas).
+
+    Round-trips exactly on any text the GPT-2-style pre-tokenizer
+    preserves (single-space word boundaries — pieces carry their leading
+    space); multi-space runs and characters outside the printable-ASCII
+    alphabet decode to what the encoder actually saw (<unk> → U+FFFD).
+    decode(encode(x)) == concat(pretokenize(x)) ALWAYS — the contract the
+    oracle checks corpus-wide."""
+    vocab = vocab_from_merges(merges)
+    syms = [""] * (max(vocab.values()) + 1)
+    syms[UNK_ID] = "�"
+    for s, i in vocab.items():
+        syms[i] = s
+    table = F.array(*[F.lit(s) for s in syms])
+    # out-of-table ids coalesce to U+FFFD explicitly — array_join would
+    # otherwise SKIP the NULL lookup and silently hide corrupt ids
+    return F.array_join(
+        F.transform(
+            ids,
+            lambda i: F.coalesce(F.try_element_at(table, i + 1), F.lit("�")),
+        ),
+        "",
+    )

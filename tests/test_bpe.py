@@ -242,3 +242,42 @@ def test_spark_id_expr_matches_driver_side(spark):
         .ids
         == []
     )
+
+
+def test_bpe_decode_roundtrip_and_unk(spark):
+    """decode ∘ encode == pre-tokenize concat; OOV ids decode to U+FFFD;
+    the decoder is pure codegen (no Python nodes in the plan)."""
+    from pyspark.sql import functions as F
+
+    from biocurator_mapper_spark.functions.bpe import (
+        bpe_decode_expr,
+        bpe_encode_expr,
+    )
+    from biocurator_mapper_spark.functions.bpe_merges import MERGES
+
+    texts = [
+        "the quick brown fox's tail, isn't it?",
+        "numbers 123 and 456!",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select(
+        bpe_decode_expr(bpe_encode_expr(F.col("text"), MERGES), MERGES).alias("d")
+    )
+    got = [r.d for r in out.collect()]
+    # single-spaced ASCII round-trips exactly (pieces carry leading spaces)
+    assert got[0] == texts[0] and got[1] == texts[1]
+    assert got[2] == "" and got[3] == ""
+    # unknown id decodes to the replacement char, in-range ids to symbols
+    one = spark.createDataFrame([([999999, 0, 1],)], "ids array<int>")
+    d = one.select(bpe_decode_expr(F.col("ids"), MERGES).alias("d")).collect()[0].d
+    assert d == "�� "  # out-of-table and UNK both -> U+FFFD; id 1 = ' '
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # encoder is the only Python stage; a second select of decode alone is
+    # Python-free
+    ids_df = spark.createDataFrame([([72, 73],)], "ids array<int>")
+    p2 = ids_df.select(
+        bpe_decode_expr(F.col("ids"), MERGES).alias("d")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in p2 and "BatchEvalPython" not in p2
