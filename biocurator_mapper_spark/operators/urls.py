@@ -198,8 +198,12 @@ def filter_blocked_domains(
 
     ``include_subdomains=True`` also drops any host UNDER a blocked
     domain (``bad.com`` blocks ``a.bad.com``) by matching the host's
-    dot-suffix — pass the registrable domain as ``domain_col`` instead
-    when the PSL tier already grouped hosts.
+    dot-suffix. Scale note: the suffix condition is non-equi, so this
+    mode executes as a broadcast NESTED-LOOP anti join — every row scans
+    the blocklist. Right for policy lists (10³-10⁵ entries); for larger
+    lists, resolve hosts to their PSL registrable domain first
+    (``operators.psl.with_psl_domain``) and use the exact mode's
+    hash anti join — subdomains then collapse onto the blocked key.
     """
     spark = df.sparkSession
     if isinstance(blocklist, list):
