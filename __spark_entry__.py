@@ -539,7 +539,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_embedding")
         )
         out = brute_force_topk_join(
-            queries_df, corpus, k=5, query_id_col="query_id", corpus_id_col="corpus_id"
+            queries_df, corpus, k=5, query_id_col="query_id", corpus_id_col="corpus_id",
+            # 10 probe rows vs the full corpus: stream the corpus so the
+            # nested loop parallelizes over its splits instead of running
+            # every pair inside the one task holding the probes
+            broadcast_side="queries",
         )
         return out.select(
             "query_id", "corpus_id", F.col("rank").cast("bigint").alias("rank"), "cosine"

@@ -91,6 +91,19 @@ def _sql_ident(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+_NORM_SQL = (
+    "sqrt(aggregate({v}, 0.0D, (acc, x) -> "
+    "acc + cast(x as double) * cast(x as double)))"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "cast(x as double) * cast(y as double)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _cosine_sql(a: str, b: str) -> str:
     """The cosine fold as ONE SQL string — parses JVM-side in a single py4j
     call (~1 ms) where the lambda-HOF Column construction costs ~100 ms of
@@ -98,18 +111,35 @@ def _cosine_sql(a: str, b: str) -> str:
     plan-construction time). Parses to the same expression tree as the
     Column path — equivalence pinned in tests."""
     qa, qb = _sql_ident(a), _sql_ident(b)
-    sq = (
-        "sqrt(aggregate({v}, 0.0D, (acc, x) -> "
-        "acc + cast(x as double) * cast(x as double)))"
-    )
-    na, nb = sq.format(v=qa), sq.format(v=qb)
-    dot = (
-        f"aggregate(zip_with({qa}, {qb}, (x, y) -> "
-        "cast(x as double) * cast(y as double)), 0.0D, (acc, x) -> acc + x)"
-    )
+    na, nb = _NORM_SQL.format(v=qa), _NORM_SQL.format(v=qb)
+    dot = _dot_sql(qa, qb)
     return (
         f"CASE WHEN {na} > 0 AND {nb} > 0 "
         f"THEN {dot} / ({na} * {nb}) ELSE 0.0D END"
+    )
+
+
+def norm_expr(vec_col: str) -> Column:
+    """L2 norm of an array<float> column — the exact fold `_cosine_sql`
+    uses for its denominators (same expression tree → same double)."""
+    return F.expr(_NORM_SQL.format(v=_sql_ident(vec_col)))
+
+
+def cosine_from_norms_expr(a: str, b: str, na: str, nb: str) -> Column:
+    """Cosine built from PREcomputed per-row norms (`norm_expr` columns).
+
+    Exactly the `_cosine_sql` arithmetic with the two norm folds factored
+    out so each side's norm evaluates ONCE PER ROW instead of once per
+    joined pair (the CASE references each norm twice, and each pair pays
+    the other side's fold too — 5 array aggregates per pair collapse to 1).
+    Bit-identical doubles: the norm column carries the same fold, and
+    the dot / division tree is unchanged."""
+    qa, qb = _sql_ident(a), _sql_ident(b)
+    qna, qnb = _sql_ident(na), _sql_ident(nb)
+    dot = _dot_sql(qa, qb)
+    return F.expr(
+        f"CASE WHEN {qna} > 0 AND {qnb} > 0 "
+        f"THEN {dot} / ({qna} * {qnb}) ELSE 0.0D END"
     )
 
 

@@ -28,7 +28,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.embed import certainty_expr, cosine_expr
+from ..functions.embed import certainty_expr
 
 
 def broadcast_topk(
@@ -121,14 +121,49 @@ def brute_force_topk_join(
     corpus_id_col: str = "corpus_id",
     query_vec: str = "q_embedding",
     corpus_vec: str = "c_embedding",
+    broadcast_side: str = "corpus",
 ) -> DataFrame:
     """Pure-DataFrame top-k: broadcast cross join + cosine + ranked window.
 
-    SQL-oracle-checkable; right for broadcast-sized corpora. Columns:
-    (query_id, corpus_id, rank, cosine).
+    SQL-oracle-checkable. Columns: (query_id, corpus_id, rank, cosine,
+    certainty). Each side's L2 norm is computed ONCE PER ROW below the join
+    (``norm_expr``) instead of per pair — the cosine CASE references each
+    norm twice and every pair otherwise re-folds both arrays, so this cuts
+    5 array aggregates per pair to 1 (the dot), bit-identically.
+
+    ``broadcast_side`` picks which input is broadcast; STREAM the larger
+    side so the nested-loop parallelism follows its partitioning (the
+    default streams ``queries`` — the 100 TB shape, corpus-sized queries ×
+    broadcast ontology; pass ``"queries"`` when the query side is the tiny
+    one, e.g. a handful of probes against a large corpus, otherwise every
+    pair evaluates inside the few tasks holding the probes).
     """
-    joined = queries.crossJoin(F.broadcast(corpus)).withColumn(
-        "cosine", cosine_expr(query_vec, corpus_vec)
+    from ..functions.embed import cosine_from_norms_expr, norm_expr
+    from ..functions.partitions import estimated_source_partitions
+
+    q = queries.select(query_id_col, query_vec)
+    c = corpus.select(corpus_id_col, corpus_vec)
+    # under-partitioned-source valve (same as _hashed_shingle_rows): a
+    # small parquet file yields a handful of splits and every per-pair
+    # cosine then evaluates inside those few tasks; spread the STREAMED
+    # side first. Well-partitioned 100 TB inputs skip this.
+    default_p = queries.sparkSession.sparkContext.defaultParallelism
+    stream_is_c = broadcast_side == "queries"
+    stream = c if stream_is_c else q
+    if estimated_source_partitions(stream) < max(default_p // 2, 1):
+        stream = stream.repartition(default_p)
+        if stream_is_c:
+            c = stream
+        else:
+            q = stream
+    q = q.withColumn("_qn", norm_expr(query_vec))
+    c = c.withColumn("_cn", norm_expr(corpus_vec))
+    if stream_is_c:
+        joined = c.crossJoin(F.broadcast(q))
+    else:
+        joined = q.crossJoin(F.broadcast(c))
+    joined = joined.withColumn(
+        "cosine", cosine_from_norms_expr(query_vec, corpus_vec, "_qn", "_cn")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(corpus_id_col)
