@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
-from ..functions.embed import certainty_expr, cosine_expr
+from ..functions.embed import certainty_expr, cosine_from_norms_expr, norm_expr
 
 
 QUANT_SCALE = 1000.0  # vector components → ints (exact cross-engine arith)
@@ -151,11 +151,27 @@ def lsh_topk(
         .drop("bucket")
         .dropDuplicates([query_id_col, corpus_id_col])
     )
+    # each side's norm folds ONCE PER ROW on the rejoin relations (the
+    # cosine CASE would otherwise re-fold both arrays per candidate pair —
+    # 5 interpreted aggregates per pair collapse to the dot alone, with
+    # bit-identical doubles; see cosine_from_norms_expr)
     cands = (
-        pairs.join(corpus.select(corpus_id_col, corpus_vec), corpus_id_col)
-        .join(queries.select(query_id_col, query_vec), query_id_col)
-        .withColumn("cosine", cosine_expr(query_vec, corpus_vec))
-        .drop(query_vec, corpus_vec)
+        pairs.join(
+            corpus.select(
+                corpus_id_col, corpus_vec, norm_expr(corpus_vec).alias("_cn")
+            ),
+            corpus_id_col,
+        )
+        .join(
+            queries.select(
+                query_id_col, query_vec, norm_expr(query_vec).alias("_qn")
+            ),
+            query_id_col,
+        )
+        .withColumn(
+            "cosine", cosine_from_norms_expr(query_vec, corpus_vec, "_qn", "_cn")
+        )
+        .drop(query_vec, corpus_vec, "_qn", "_cn")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(corpus_id_col))
     return (
@@ -318,10 +334,13 @@ def ivf_topk(
     # explode_outer: see lsh_topk — _assign always returns >=1 centroid,
     # and outer explode skips the inferred size-filter that would extract
     # the assignment UDF twice
-    c_assigned = corpus.withColumn(
+    # norms fold once per source row, BEFORE the probe explode on the query
+    # side (nprobe rows per query) and before the candidate join — the
+    # re-score then pays only the dot per pair (bit-identical doubles)
+    c_assigned = corpus.withColumn("_cn", norm_expr(corpus_vec)).withColumn(
         "_cent", F.explode_outer(centroid_assign_udf(bc, 1)(F.col(corpus_vec)))
     )
-    q_assigned = queries.withColumn(
+    q_assigned = queries.withColumn("_qn", norm_expr(query_vec)).withColumn(
         "_cent", F.explode_outer(centroid_assign_udf(bc, nprobe)(F.col(query_vec)))
     )
     # No pair dedup needed (unlike LSH multi-table): every corpus row is
@@ -332,7 +351,9 @@ def ivf_topk(
     cands = (
         q_assigned.join(c_assigned, "_cent")
         .drop("_cent")
-        .withColumn("cosine", cosine_expr(query_vec, corpus_vec))
+        .withColumn(
+            "cosine", cosine_from_norms_expr(query_vec, corpus_vec, "_qn", "_cn")
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(corpus_id_col))
     return (
@@ -376,12 +397,22 @@ def embedding_cosine_pairs(
         .drop("bucket")
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # per-row norms on the rejoin relations (not per verified pair) — same
+    # factoring as lsh_topk, bit-identical cosine
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        norm_expr(vec_col).alias("_na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        norm_expr(vec_col).alias("_nb"),
+    )
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cosine_expr("_va", "_vb"))
+        .withColumn("cosine", cosine_from_norms_expr("_va", "_vb", "_na", "_nb"))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -561,13 +592,19 @@ def ivf_index_search(
     bc = spark.sparkContext.broadcast(qcents)
     npb = min(nprobe, len(cent_rows))
 
-    q_assigned = queries.withColumn(
+    # query norm folds once per query BEFORE the nprobe explode; posting
+    # norms fold once per posting row below the join (bit-identical cosine)
+    q_assigned = queries.withColumn("_qn", norm_expr(query_vec)).withColumn(
         "centroid_id", F.explode_outer(centroid_assign_udf(bc, npb)(F.col(query_vec)))
     )
     cands = (
-        q_assigned.join(postings, "centroid_id")
+        q_assigned.join(
+            postings.withColumn("_cn", norm_expr(corpus_vec)), "centroid_id"
+        )
         .drop("centroid_id")
-        .withColumn("cosine", cosine_expr(query_vec, corpus_vec))
+        .withColumn(
+            "cosine", cosine_from_norms_expr(query_vec, corpus_vec, "_qn", "_cn")
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(corpus_id_col)

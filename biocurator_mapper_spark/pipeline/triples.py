@@ -28,7 +28,12 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.embed import certainty_expr, cosine_expr, with_hash_embedding
+from ..functions.embed import (
+    certainty_expr,
+    cosine_from_norms_expr,
+    norm_expr,
+    with_hash_embedding,
+)
 from ..operators.canonicalize import canonical_mapping
 from ..operators.mentions import build_surface_map
 from ..sources.catalog import ParquetCatalog
@@ -424,10 +429,17 @@ def build_triples(
     enriched = _fused_page_scan(pages, surfaces, page_embed=page_embed)
 
     # explode mentions; zero-mention pages exit here (the reference returns
-    # an error response for no-candidate passages — metrics, not triples)
+    # an error response for no-candidate passages — metrics, not triples).
+    # The page norm is folded ONCE PER PAGE here (before the explode): the
+    # certainty CASE references each norm twice and every (mention × term)
+    # row would otherwise re-fold both 64-float arrays — 5 interpreted
+    # array aggregates per scored row collapse to 1 (the dot), with
+    # bit-identical doubles (same fold, see cosine_from_norms_expr).
     cand = (
         enriched.select(
-            "url", "warc_ts", "lang", "page_embedding", F.explode("mentions").alias("mention")
+            "url", "warc_ts", "lang", "page_embedding",
+            norm_expr("page_embedding").alias("_pn"),
+            F.explode("mentions").alias("mention"),
         )
         .join(
             F.broadcast(surface_map.withColumnRenamed("surface", "mention")),
@@ -437,18 +449,26 @@ def build_triples(
 
     # scoring: term vectors broadcast; cosine in codegen (M1/J5). A caller
     # can pass cache-backed vectors (pipeline.model_client.embed_with_cache)
-    # — same (term_id, term_embedding) shape, zero plan change.
+    # — same (term_id, term_embedding) shape, zero plan change. The term
+    # norm folds once per term on the broadcast side.
     if term_vecs is None:
         term_vecs = default_term_vecs
     scored = (
-        cand.join(F.broadcast(term_vecs), "term_id")
+        cand.join(
+            F.broadcast(
+                term_vecs.withColumn("_tn", norm_expr("term_embedding"))
+            ),
+            "term_id",
+        )
         .withColumn(
             "certainty",
             certainty_expr(
-                cosine_expr("page_embedding", "term_embedding")
+                cosine_from_norms_expr(
+                    "page_embedding", "term_embedding", "_pn", "_tn"
+                )
             ).cast("double"),
         )
-        .drop("page_embedding", "term_embedding")
+        .drop("page_embedding", "term_embedding", "_pn", "_tn")
     )
 
     # --- stage B: the one shuffle — groupBy(url) + in-group rerank --------
