@@ -39,6 +39,13 @@ from biocurator_mapper_spark.functions.text import (  # noqa: E402
     LANG_STOPWORDS as _LANGS,
 )
 
+# single-slice dimension frames: the default createDataFrame parallelizes
+# tiny local rows into defaultParallelism slices, making every collect /
+# broadcast build over them a 32-Python-task job (see functions.dims)
+from biocurator_mapper_spark.functions.dims import (  # noqa: E402
+    local_dim_df as _local_dim,
+)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read(spark, sf_dir, "documents")
@@ -244,7 +251,7 @@ def _one_exact_subjs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build() -> DataFrame:
         d = _docs(spark, sf_dir)
-        ex = spark.createDataFrame(EXACT_DICT, "surface string, term_id string")
+        ex = _local_dim(spark, EXACT_DICT, "surface string, term_id string")
         return (
             d.join(
                 F.broadcast(ex),
@@ -290,7 +297,8 @@ EXACT_DICT = [
 def _vocab_terms(spark: SparkSession) -> DataFrame:
     """Tiny 'query-operators ontology' whose surfaces occur in `documents` —
     the dimension table for the flagship pipeline over testdata."""
-    return spark.createDataFrame(
+    return _local_dim(
+        spark,
         VOCAB_ROWS,
         "term_id string, name string, definition string, exact_synonyms array<string>, "
         "narrow_synonyms array<string>, broad_synonyms array<string>, "
@@ -322,7 +330,7 @@ def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dict_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(DICT, "surface string, term_id string")
+    return _local_dim(spark, DICT, "surface string, term_id string")
 
 
 def _dict_values_sql() -> str:

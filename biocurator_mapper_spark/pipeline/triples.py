@@ -28,6 +28,7 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.dims import local_dim_df
 from ..functions.embed import (
     certainty_expr,
     cosine_from_norms_expr,
@@ -102,17 +103,21 @@ def _driver_side_inputs(
     canon_rows = [
         (t, by_comp[comp[t]] if t in comp else t) for t in sorted(term_ids)
     ]
-    surface_map = spark.createDataFrame(
+    # single-slice dimension frames: the default 32-slice parallelize made
+    # every broadcast-hash build over these a 32-Python-task job (~0.2 s
+    # of constant overhead per build; see functions.dims)
+    surface_map = local_dim_df(
+        spark,
         [(s, t, e) for (s, t), e in sorted(surface_map_rows.items())],
         "surface string, term_id string, is_exact boolean",
     )
     term_vecs = (
-        spark.createDataFrame(vec_rows, "term_id string, term_embedding array<float>")
+        local_dim_df(spark, vec_rows, "term_id string, term_embedding array<float>")
         if need_vecs
         else None
     )
-    canon = spark.createDataFrame(
-        canon_rows, "term_id string, canonical_id string"
+    canon = local_dim_df(
+        spark, canon_rows, "term_id string, canonical_id string"
     )
     surfaces = sorted({s for s, _ in surface_map_rows})
     return surfaces, surface_map, term_vecs, canon
