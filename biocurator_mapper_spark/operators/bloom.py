@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.dims import local_dim_df
+
 from .dedup import _MINHASH_AB, MINHASH_MOD, _hashed_shingle_rows
 
 BLOOM_M_BITS = 1 << 20
@@ -191,7 +193,7 @@ def bloom_contamination_candidates(
     the contract fixture)."""
     words = _hex_to_words(bits) if isinstance(bits, str) else bits
     spark = corpus.sparkSession
-    words_df = spark.createDataFrame([(words,)], "_bloom_words array<long>")
+    words_df = local_dim_df(spark, [(words,)], "_bloom_words array<long>")
     ch = _hashed_shingle_rows(corpus, id_col, text_col, n)
     return (
         ch.join(F.broadcast(words_df))

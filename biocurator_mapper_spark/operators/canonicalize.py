@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.dims import local_dim_df
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     bi = edges.select("src", "dst").union(
@@ -128,7 +130,7 @@ def connected_components(
                     StructField("component", node_type),
                 ]
             )
-            return spark.createDataFrame(list(comp.items()), out_schema)
+            return local_dim_df(spark, list(comp.items()), out_schema)
     all_nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

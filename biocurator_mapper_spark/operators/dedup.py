@@ -135,10 +135,18 @@ def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> D
         # second (narrow-width: one long per row) exchange = the reuse
         # point — every consumer subtree (join sides, sizes, hot list,
         # sigs, sets) reads the materialized hashed rows instead of
-        # re-evaluating the shingle HOF chain. Well-partitioned 100 TB
-        # inputs skip both exchanges: consumers re-evaluate in parallel
-        # rather than shuffle corpus-scale shingle rows.
-        rows = rows.repartition(default_p)
+        # re-evaluating the shingle HOF chain. HASH-partitioned by _id,
+        # not round-robin: the per-doc aggregates above (signature mins,
+        # shingle sets, sizes) then need NO further exchange, where
+        # round-robin left them a near-useless partial agg (measured:
+        # 2.6M rows partially reduced only to 1.2M — every task holds
+        # almost every doc — then a 39 MB minima exchange plus a 124 MB
+        # partial-collect_list object exchange; hash partitioning removed
+        # both and cut dedup_minhash_lsh 3.9 → 2.1 s at sf1.0).
+        # Well-partitioned 100 TB inputs skip both exchanges: consumers
+        # re-evaluate in parallel rather than shuffle corpus-scale
+        # shingle rows.
+        rows = rows.repartition(default_p, F.col("_id"))
     return rows
 
 

@@ -38,6 +38,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.dims import local_dim_df
+
 from .dedup import shingle_hash_expr, tokens_expr
 
 DSIR_DIM = 4096
@@ -113,8 +115,8 @@ def importance_scores(
     n-grams score 0). One generate → broadcast ratio join → per-doc agg."""
     spark = raw.sparkSession
     ratio_df = F.broadcast(
-        spark.createDataFrame(
-            [(b, r) for b, r in sorted(ratios.items())], "b int, lr long"
+        local_dim_df(
+            spark, [(b, r) for b, r in sorted(ratios.items())], "b int, lr long"
         )
     )
     occ = (

@@ -178,6 +178,14 @@ def broadcast_scanner(spark, surfaces: list[str]):
     return lambda: bc.value.find_distinct
 
 
+# Dictionary size up to which the mention scan stays a pure JVM expression
+# (N codegen `contains` probes per page) instead of the broadcast automaton
+# (one Python boundary crossing + O(len) automaton walk). The expression
+# path removes the ArrowEvalPython node outright; past ~this size the
+# N-probe cost overtakes the automaton on long pages.
+MENTION_EXPR_MAX_SURFACES = 64
+
+
 def with_mentions(
     pages: DataFrame,
     surfaces: list[str],
@@ -186,12 +194,32 @@ def with_mentions(
 ) -> DataFrame:
     """+ mentions: array<string> of distinct dictionary surfaces in the text.
 
-    The automaton is broadcast once per job; the scan is an Arrow-batched
-    pandas UDF (narrow — scales with input splits, zero shuffle). When the
-    optional ``pyahocorasick`` C extension is importable the scan uses it
-    (several-fold faster on long pages); the pure-Python automaton is the
-    no-C-deps fallback with identical match semantics.
+    Small dictionaries (≤ ``MENTION_EXPR_MAX_SURFACES``) scan with pure
+    codegen: ``filter(sorted_surfaces, s -> contains(lower(text), s))`` —
+    identical substring-match semantics and identical sorted-distinct
+    output, zero Python boundary (the text lowercases ONCE via a let
+    binding; a bare lambda capture would re-lower per surface).
+
+    Larger dictionaries broadcast an automaton; the scan is an
+    Arrow-batched pandas UDF (narrow — scales with input splits, zero
+    shuffle). When the optional ``pyahocorasick`` C extension is
+    importable the scan uses it (several-fold faster on long pages); the
+    pure-Python automaton is the no-C-deps fallback with identical match
+    semantics.
     """
+    patterns = sorted({p.lower() for p in surfaces if p})
+    if len(patterns) <= MENTION_EXPR_MAX_SURFACES:
+        from ..functions.exprs import let_expr
+
+        arr = F.array(*[F.lit(p) for p in patterns])
+        expr = let_expr(
+            F.lower(F.col(text_col)),
+            lambda t: F.filter(arr, lambda s: t.contains(s)),
+        )
+        # null text: contains(null, s) is null → filter drops every
+        # element → [], matching the automaton's [] for None
+        return pages.withColumn(out_col, expr)
+
     spark = pages.sparkSession
     get_scanner = broadcast_scanner(spark, surfaces)
 

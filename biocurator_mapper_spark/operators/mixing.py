@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.dims import local_dim_df
+
 
 def epoch_plan(
     df: DataFrame,
@@ -56,8 +58,8 @@ def epoch_plan(
         raise ValueError("sum of weights must be > 0")
 
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [(s, int(w)) for s, w in weights.items()], "source string, weight long"
+    wdf = local_dim_df(
+        spark, [(s, int(w)) for s, w in weights.items()], "source string, weight long"
     )
     sums = (
         df.select(

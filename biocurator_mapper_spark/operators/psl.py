@@ -40,6 +40,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.dims import local_dim_df
+
 from biocurator_mapper_spark.operators.urls import registrable_domain
 
 # --------------------------------------------------------------- snapshot
@@ -385,7 +387,8 @@ def with_psl_domain(
         rows = [
             (r.suffix, r.ps_low, r.ps_high, r.exc_ps) for r in by_k[k]
         ]
-        rdf = spark.createDataFrame(
+        rdf = local_dim_df(
+            spark,
             rows,
             f"_psl{k}_sfx string, _psl{k}_low int, _psl{k}_high int, _psl{k}_exc int",
         )

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.dims import local_dim_df
+
 HASH_SPACE = 1 << 16  # first 4 md5 hex chars
 
 
@@ -152,7 +154,8 @@ def temperature_sample(
     spark = df.sparkSession
     from pyspark.sql.types import LongType, StructField, StructType
 
-    tdf = spark.createDataFrame(
+    tdf = local_dim_df(
+        spark,
         [(s, t) for s, t in items],
         StructType(
             [

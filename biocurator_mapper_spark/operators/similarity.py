@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
+from ..functions.dims import local_dim_df
 from ..functions.embed import certainty_expr, cosine_from_norms_expr, norm_expr
 
 
@@ -104,7 +105,14 @@ def with_lsh_buckets(
     makes the bucket assignment exactly reproducible by a SQL oracle
     (float32 matmuls can flip the sign of near-zero dots between engines).
     The UDF (and its broadcast) is cached per (SparkContext, args) — see
-    ``_sig_udf``."""
+    ``_sig_udf``. Under-partitioned sources (a small parquet file → a
+    handful of splits) are round-robin spread first so the Arrow matmul
+    stage uses every core; properly split 100 TB inputs skip this."""
+    from ..functions.partitions import estimated_source_partitions
+
+    default_p = df.sparkSession.sparkContext.defaultParallelism
+    if estimated_source_partitions(df) < max(default_p // 2, 1):
+        df = df.repartition(default_p)
     sig = _sig_udf(df.sparkSession.sparkContext, dim, n_planes, n_tables, seed)
     return df.withColumn(out_col, sig(F.col(vec_col)))
 
@@ -484,8 +492,8 @@ def build_ivf_index(
         )
     )
     rows = [(int(i), [int(x) for x in row]) for i, row in enumerate(qcents)]
-    cent_df = spark.createDataFrame(
-        rows, "centroid_id int, centroid array<bigint>"
+    cent_df = local_dim_df(
+        spark, rows, "centroid_id int, centroid array<bigint>"
     )
     catalog.write_replace(cent_df, f"{index_name}_centroids")
     if qcents.size:

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.dims import local_dim_df
+
 # params that never change page identity — the usual tracker/campaign set
 TRACKING_PARAMS = (
     "utm_source",
@@ -207,8 +209,8 @@ def filter_blocked_domains(
     """
     spark = df.sparkSession
     if isinstance(blocklist, list):
-        bdf = spark.createDataFrame(
-            [(d.lower(),) for d in blocklist], "_blocked string"
+        bdf = local_dim_df(
+            spark, [(d.lower(),) for d in blocklist], "_blocked string"
         )
     else:
         bcol = blocklist.columns[0]

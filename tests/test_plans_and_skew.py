@@ -192,12 +192,17 @@ def test_dedup_family_plan_shapes_pinned(spark):
     dx = executed(exact_ngram_collisions(corpus, bench, "doc_id", "text", n=13))
     assert "BroadcastExchange" in dx, "benchmark n-gram set must broadcast"
     assert "BatchEvalPython" not in dx
-    # the corpus side must reach the semi-join without a corpus-wide
-    # hash shuffle: only round-robin split fixes are allowed before it
+    # the corpus side must reach the semi-join without an EXTRA
+    # corpus-wide shuffle: only the split-fix exchanges are allowed
+    # before it (REPARTITION_BY_NUM — the under-partitioned-source valve,
+    # now hash-keyed on _id so the per-doc aggregates need no second
+    # exchange) plus gram-keyed (h#) requirement exchanges
     corpus_hash = [
         l
         for l in dx.splitlines()
-        if "Exchange hashpartitioning" in l and "doc_id" not in l
+        if "Exchange hashpartitioning" in l
+        and "doc_id" not in l
+        and "REPARTITION_BY_NUM" not in l
     ]
     assert not [l for l in corpus_hash if "h#" not in l], corpus_hash
 
