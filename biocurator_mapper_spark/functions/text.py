@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .exprs import int_array_lit, str_array_lit
+
 # ---------------------------------------------------------------- reference ops
 
 
@@ -130,7 +132,7 @@ def quality_struct(text: Column) -> Column:
         F.filter(F.split(F.lower(text), r"[^\p{L}0-9']+"), lambda t: t != "")
     )
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
-    stop_list = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stop_list = str_array_lit(_STOPWORDS)
 
     def _merge(acc: Column, t: Column) -> Column:
         return F.struct(
@@ -323,12 +325,12 @@ def curation_signals_struct(text: Column, with_lang: bool = False) -> Column:
 
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
-    stop_list = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stop_list = str_array_lit(_STOPWORDS)
     n_langs = len(LANG_STOPWORDS)
     word_arrays = [
-        F.array(*[F.lit(w) for w in words]) for _, words in LANG_STOPWORDS
+        str_array_lit(words) for _, words in LANG_STOPWORDS
     ]
-    lang_codes = F.array(*[F.lit(code) for code, _ in LANG_STOPWORDS])
+    lang_codes = str_array_lit([code for code, _ in LANG_STOPWORDS])
 
     def _dup_frac(lines: Column) -> Column:
         n_lines = F.size(lines)
@@ -420,7 +422,7 @@ def curation_signals_struct(text: Column, with_lang: bool = False) -> Column:
             F.lit(0).alias("len_sum"),
         ]
         if with_lang:
-            q_init.append(F.array(*[F.lit(0)] * n_langs).alias("hits"))
+            q_init.append(int_array_lit([0] * n_langs).alias("hits"))
         q = F.aggregate(toks, F.struct(*q_init), _q_merge, _q_finish)
         rep = F.aggregate(
             F.array_sort(toks),
@@ -519,9 +521,9 @@ def lang_id_expr(text: Column) -> Column:
     fanned into multiple referencing expressions."""
     n = len(LANG_STOPWORDS)
     word_arrays = [
-        F.array(*[F.lit(w) for w in words]) for _, words in LANG_STOPWORDS
+        str_array_lit(words) for _, words in LANG_STOPWORDS
     ]
-    lang_codes = F.array(*[F.lit(code) for code, _ in LANG_STOPWORDS])
+    lang_codes = str_array_lit([code for code, _ in LANG_STOPWORDS])
     toks = _null_safe(F.split(F.lower(text), r"[^\p{L}0-9']+"))
 
     def _merge(acc: Column, t: Column) -> Column:
@@ -544,5 +546,5 @@ def lang_id_expr(text: Column) -> Column:
         return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
     return F.aggregate(
-        toks, F.array(*[F.lit(0)] * n), _merge, _finish
+        toks, int_array_lit([0] * n), _merge, _finish
     )

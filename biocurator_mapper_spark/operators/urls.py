@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.dims import local_dim_df
+from ..functions.exprs import str_array_lit
 
 # params that never change page identity — the usual tracker/campaign set
 TRACKING_PARAMS = (
@@ -90,7 +91,7 @@ def url_parts(url: Column) -> Column:
 
 
 def _canon_query(query: Column, drop_params: tuple[str, ...]) -> Column:
-    dropset = F.array(*[F.lit(p) for p in drop_params])
+    dropset = str_array_lit(drop_params)
     kept = F.filter(
         F.split(query, "&"),
         lambda p: (p != "")
@@ -142,7 +143,7 @@ def registrable_domain(host: Column) -> Column:
     take3 = (
         (n >= F.lit(3))
         & (F.length(tld) == 2)
-        & F.array_contains(F.array(*[F.lit(x) for x in REGISTRY_2LD]), sld)
+        & F.array_contains(str_array_lit(REGISTRY_2LD), sld)
     )
     k = F.when(take3, F.lit(3)).otherwise(F.lit(2))
     return F.when(
