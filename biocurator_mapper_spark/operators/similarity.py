@@ -155,9 +155,16 @@ def lsh_topk(
     c = with_lsh_buckets(corpus, corpus_vec, dim, n_planes, n_tables, seed).select(
         corpus_id_col, F.explode_outer("lsh_buckets").alias("bucket")
     )
+    # ONE exchange for dedup + window: hash-partitioning by the query id
+    # alone clusters every (query, corpus) pair group AND is exactly the
+    # top-k window's required distribution, so the pair dedup runs without
+    # its own (query, corpus)-keyed exchange and the window adds none —
+    # two shuffles of the candidate relation collapse into one (the
+    # downstream joins are broadcast and preserve the partitioning).
     pairs = (
         q.join(c, "bucket")
         .drop("bucket")
+        .repartition(F.col(query_id_col))
         .dropDuplicates([query_id_col, corpus_id_col])
     )
     # each side's norm folds ONCE PER ROW on the rejoin relations (the
